@@ -1,0 +1,292 @@
+"""Full 2-D depth computation with temporal propagation.
+
+TPU-native analog of Depth2DComputer (rslf_depth_computation.hpp:651-915)
+driving compute_2D_edge_confidence + compute_2D_depth_epi
+(rslf_depth_computation_core.hpp:901-1133):
+
+* edge confidence C_e for every (s, v, u), once;
+* claim masks initialized to the C_e masks (core.hpp:958-963);
+* passes over s_hat in center-outward order (core.hpp:981-990; note the
+  schedule never visits plane 0 when S is even — replicated);
+* each pass: dense sweep on still-unclaimed confident pixels of the s_hat
+  plane, selective median filter, then line painting (propagation).
+
+Reference quirks replicated on purpose:
+* the median-filtered disparities are used for PROPAGATION but are not
+  written back to the stored s_hat plane (the cv::Mat header re-bind at
+  core.hpp:892 does not alias the caller's vector element) — except where
+  the s = s_hat leg of propagation re-paints the pixel with its filtered
+  value;
+* a failed sweep (max score <= raw threshold) zeroes C_e and its mask at
+  that pixel (core.hpp:653-657) but leaves the claim bit set;
+* propagation sources are all pixels passing the criterion — including
+  pixels claimed in earlier passes (their stored r_bar at this plane is 0,
+  so their radiance gate almost never passes; core.hpp:1094-1127).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_PARAMS, DepthParams
+from ..types import DTYPE
+from ..ops.edge_confidence import edge_confidence_volume
+from ..ops.median import selective_median
+from ..ops.normalize import normalize_volume
+from ..ops.propagation import propagate
+from ..ops.sweep import sweep_pile
+
+
+class Depth2DState(NamedTuple):
+    """All mutable per-(s, v, u) planes of the 2-D computation."""
+
+    ce: jnp.ndarray          # [S, V, U] edge confidence (sweep-mutated)
+    ce_mask: jnp.ndarray     # [S, V, U] bool
+    disp_conf: jnp.ndarray   # [S, V, U]
+    line_conf: jnp.ndarray   # [S, V, U] (used when score_version=="line")
+    best_depth: jnp.ndarray  # [S, V, U]
+    rbar: jnp.ndarray        # [S, V, U, C]
+    claim: jnp.ndarray       # [S, V, U] bool (True = unclaimed)
+
+
+def center_outward_schedule(dim_s: int) -> list:
+    """The reference's s_hat visiting order (core.hpp:981-990)."""
+    s_hat = int(np.floor(dim_s / 2.0))
+    order = [s_hat]
+    for off in range(1, dim_s - s_hat):
+        order.append(s_hat + off)
+        if s_hat - off > -1:
+            order.append(s_hat - off)
+    return order
+
+
+def _line_confidence(ce_s_v_u, best_depth_v_u, k_best_v_s_u, mask_v_u,
+                     s_hat):
+    """Line confidence C_l = sum_s C_e K / sum_s K along the winning line.
+
+    Mirrors the _USE_LINE_CONFIDENCE_SCORE block (core.hpp:1032-1081).
+    Note the index matrix at :1058 omits par_slope_factor — replicated.
+    """
+    S, V, U = ce_s_v_u.shape
+    s_idx = jnp.arange(S, dtype=DTYPE)
+    idx = (s_hat.astype(DTYPE) - s_idx)[:, None, None] * \
+        best_depth_v_u[None, :, :] + jnp.arange(U, dtype=DTYPE)[None, None, :]
+    fi = jnp.floor(idx)
+    ci = jnp.ceil(idx)
+    t = idx - fi
+    valid = (fi >= 0) & (ci <= U - 1)
+    fic = jnp.clip(fi, 0, U - 1).astype(jnp.int32)
+    cic = jnp.clip(ci, 0, U - 1).astype(jnp.int32)
+    a = jnp.take_along_axis(ce_s_v_u, fic, axis=2)
+    b = jnp.take_along_axis(ce_s_v_u, cic, axis=2)
+    ce_i = jnp.where(valid, (1.0 - t) * a + t * b, 0.0)
+    k = jnp.transpose(k_best_v_s_u, (1, 0, 2))  # [S, V, U]
+    num = jnp.sum(ce_i * k, axis=0)
+    den = jnp.sum(k, axis=0)
+    return jnp.where(mask_v_u, num / den, 0.0)
+
+
+def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, state: Depth2DState,
+             s_hat, *, dim_d: int, params: DepthParams,
+             d_bounds: Tuple[float, float], use_pallas: bool,
+             uniform_bounds: bool) -> Depth2DState:
+    """One center-outward pass (sweep + median + propagation), jittable."""
+    V, S, U, C = epis.shape
+    s_hat = jnp.asarray(s_hat, jnp.int32)
+
+    def plane(x):
+        return jax.lax.dynamic_index_in_dim(x, s_hat, 0, keepdims=False)
+
+    ce_p = plane(state.ce)
+    mask_p = plane(state.ce_mask)
+    claim_p = plane(state.claim)
+    depth_p = plane(state.best_depth)
+    conf_p = plane(state.disp_conf)
+    rbar_p = plane(state.rbar)
+    dmin_v_u = plane(dmin_s_v_u)
+    dmax_v_u = plane(dmax_s_v_u)
+    frame = plane(frames)
+
+    # The reference ANDs the edge mask into the claim plane in-place
+    # before collecting pixels (core.hpp:510-513).
+    active = mask_p & claim_p
+    claim = jax.lax.dynamic_update_index_in_dim(
+        state.claim, active, s_hat, 0)
+
+    with_k = params.score_version == "line"
+    if use_pallas and uniform_bounds:
+        from ..ops.sweep_pallas import sweep_pile_pallas
+        res = sweep_pile_pallas(epis, dmin_v_u, dmax_v_u, dim_d, s_hat,
+                                params, with_k_best=with_k)
+    else:
+        res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params,
+                         with_k_best=with_k)
+
+    ok = res.best_score > params.raw_score_threshold
+    good = active & ok
+    bad = active & ~ok
+
+    ce_new = jnp.where(bad, 0.0, ce_p)
+    mask_new = mask_p & ~bad
+    depth_new = jnp.where(good, res.best_depth, depth_p)
+    conf_new = jnp.where(
+        good, ce_new * jnp.abs(res.best_score - res.score_mean), conf_p)
+    rbar_new = jnp.where(good[..., None], res.rbar, rbar_p)
+
+    st = Depth2DState(
+        ce=jax.lax.dynamic_update_index_in_dim(state.ce, ce_new, s_hat, 0),
+        ce_mask=jax.lax.dynamic_update_index_in_dim(
+            state.ce_mask, mask_new, s_hat, 0),
+        disp_conf=jax.lax.dynamic_update_index_in_dim(
+            state.disp_conf, conf_new, s_hat, 0),
+        line_conf=state.line_conf,
+        best_depth=jax.lax.dynamic_update_index_in_dim(
+            state.best_depth, depth_new, s_hat, 0),
+        rbar=jax.lax.dynamic_update_index_in_dim(
+            state.rbar, rbar_new, s_hat, 0),
+        claim=claim,
+    )
+
+    # Selective median on the (possibly propagation-painted) s_hat plane,
+    # gated by the post-sweep edge mask (core.hpp:877-892).  The filtered
+    # values drive propagation but do NOT replace the stored plane.
+    filtered = selective_median(depth_new, frame, mask_new,
+                                params.median_filter_size,
+                                params.median_filter_epsilon)
+
+    payloads = [(st.best_depth, filtered), (st.disp_conf, conf_new)]
+    if params.score_version == "line":
+        lc = _line_confidence(st.ce, filtered, res.k_best, mask_new, s_hat)
+        lc_state = jax.lax.dynamic_update_index_in_dim(
+            st.line_conf, lc, s_hat, 0)
+        st = st._replace(line_conf=lc_state)
+        source_mask = lc > params.line_score_threshold
+        payloads.append((st.line_conf, lc))
+    elif params.score_version == "disp":
+        source_mask = conf_new > params.disp_score_threshold
+    else:
+        source_mask = mask_new
+
+    claim_out, targets_out = propagate(
+        st.claim, frames, filtered, rbar_new, source_mask, s_hat,
+        d_bounds, params.slope_factor, params.propagation_epsilon,
+        payloads)
+
+    st = st._replace(best_depth=targets_out[0], disp_conf=targets_out[1],
+                     claim=claim_out)
+    if params.score_version == "line":
+        st = st._replace(line_conf=targets_out[2])
+    return st
+
+
+class Depth2DComputer:
+    """Driver mirroring Depth2DComputer's ctor/run/getters."""
+
+    def __init__(self, epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
+                 epi_scale_factor: float = -1.0,
+                 params: DepthParams = DEFAULT_PARAMS,
+                 verbose: bool = False,
+                 use_pallas: Optional[bool] = None,
+                 early_stop: bool = True):
+        epis = jnp.asarray(epis_v_s_u_c)
+        if epis.ndim == 3:
+            epis = epis[..., None]
+        self.epis = normalize_volume(epis, epi_scale_factor)
+        V, S, U, C = self.epis.shape
+        self.dim_d = dim_d
+        self.dmin = float(dmin)
+        self.dmax = float(dmax)
+        self.params = params
+        self.verbose = verbose
+        self.early_stop = early_stop
+        self.accept_all = False
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
+        # Per-pixel disparity bounds, editable by the pyramid
+        # (rslf_depth_computation.hpp:196-215).
+        self.dmin_s_v_u = jnp.full((S, V, U), self.dmin, DTYPE)
+        self.dmax_s_v_u = jnp.full((S, V, U), self.dmax, DTYPE)
+        self._bounds_edited = False
+        self.state: Optional[Depth2DState] = None
+
+    # -- pyramid hooks (rslf_depth_computation.hpp:196-215) -------------
+
+    def set_accept_all(self, accept_all: bool):
+        self.accept_all = accept_all
+
+    def set_bounds(self, dmin_s_v_u, dmax_s_v_u):
+        self.dmin_s_v_u = dmin_s_v_u
+        self.dmax_s_v_u = dmax_s_v_u
+        self._bounds_edited = True
+
+    # -------------------------------------------------------------------
+
+    def run(self) -> Depth2DState:
+        V, S, U, C = self.epis.shape
+        frames = jnp.transpose(self.epis, (1, 0, 2, 3))  # [S, V, U, C]
+
+        ce_vsu, mask_vsu = jax.jit(edge_confidence_volume, static_argnums=1)(
+            self.epis, self.params)
+        ce = jnp.transpose(ce_vsu, (1, 0, 2))
+        ce_mask = jnp.transpose(mask_vsu, (1, 0, 2))
+
+        state = Depth2DState(
+            ce=ce,
+            ce_mask=ce_mask,
+            disp_conf=jnp.zeros((S, V, U), DTYPE),
+            line_conf=jnp.zeros((S, V, U), DTYPE),
+            best_depth=jnp.zeros((S, V, U), DTYPE),
+            rbar=jnp.zeros((S, V, U, C), DTYPE),
+            claim=ce_mask,
+        )
+
+        fwd = jax.jit(
+            functools.partial(
+                _pass_fn, dim_d=self.dim_d, params=self.params,
+                d_bounds=(self.dmin, self.dmax),
+                use_pallas=self.use_pallas,
+                uniform_bounds=not self._bounds_edited),
+            donate_argnums=(4,))
+        remaining_fn = jax.jit(lambda st: jnp.sum(
+            (st.ce_mask & st.claim).astype(jnp.int32)))
+
+        for i, s_hat in enumerate(center_outward_schedule(S)):
+            state = fwd(self.epis, frames, self.dmin_s_v_u,
+                        self.dmax_s_v_u, state, jnp.int32(s_hat))
+            if self.verbose:
+                print(f"pass {i + 1}: s_hat={s_hat}")
+            if self.early_stop and int(remaining_fn(state)) == 0:
+                if self.verbose:
+                    print(f"early stop after pass {i + 1}")
+                break
+        self.state = jax.block_until_ready(state)
+        return self.state
+
+    # -- getters mirroring the reference --------------------------------
+
+    def get_depths_s_v_u(self):
+        return self.state.best_depth
+
+    def get_valid_depths_mask_s_v_u(self):
+        """Validity per score_version (rslf_depth_computation.hpp:893-915).
+
+        Note the default branch thresholds the C_e VALUES (> edge
+        threshold), not the stored boolean mask.
+        """
+        if self.accept_all:
+            return jnp.ones_like(self.state.ce, bool)
+        p = self.params
+        if p.score_version == "disp":
+            return self.state.disp_conf > p.disp_score_threshold
+        if p.score_version == "line":
+            return self.state.line_conf > p.line_score_threshold
+        return self.state.ce > p.edge_score_threshold
+
+    def get_epis(self):
+        return self.epis

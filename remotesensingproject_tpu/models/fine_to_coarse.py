@@ -1,0 +1,114 @@
+"""Fine-to-coarse pyramid driver.
+
+TPU-native analog of FineToCoarse (rslf_fine_to_coarse.hpp:26-322):
+build a chain of Depth2DComputers on progressively 2x-downsampled (v, u)
+light fields (s untouched) until either spatial dim would drop to
+min_spatial_dim, rescaling par_slope_factor to dim_u / start_dim_u per
+level (:139); run fine-to-coarse, deriving per-pixel disparity bounds for
+each coarser level from the nearest confident parents (:171-299); the last
+level accepts all disparity measures (:156-158); finally fuse coarse-to-
+fine (src/rslf_fine_to_coarse_core.cpp:69-135).
+
+Note each level's Depth2DComputer normalizes ITS OWN input volume (the
+reference downsamples the raw input and each computer picks its own global
+max when epi_scale_factor < 0) — replicated.  uint8 inputs stay in the
+rounded uint8 domain through the pyramid (OpenCV blurs/resizes CV_8U data
+with saturate_cast rounding) — replicated via round-and-clamp per level.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_PARAMS, DEFAULT_PYRAMID, DepthParams, \
+    PyramidParams
+from ..ops.pyramid import bounds_from_parent, downsample_epis, fuse_disp_maps
+from .depth2d import Depth2DComputer
+
+
+class FineToCoarse:
+    def __init__(self, epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
+                 epi_scale_factor: float = -1.0,
+                 params: DepthParams = DEFAULT_PARAMS,
+                 pyramid: PyramidParams = DEFAULT_PYRAMID,
+                 use_pallas: Optional[bool] = None,
+                 early_stop: bool = True,
+                 verbose: bool = False):
+        epis = jnp.asarray(epis_v_s_u_c)
+        if epis.ndim == 3:
+            epis = epis[..., None]
+        self.is_uint8 = epis.dtype == jnp.uint8
+        raw = epis.astype(jnp.float32)
+
+        self.params = params
+        self.pyramid = pyramid
+        self.verbose = verbose
+        self.computers: List[Depth2DComputer] = []
+        self.level_params: List[DepthParams] = []
+
+        start_dim_u = raw.shape[2]
+        max_depth = pyramid.max_pyr_depth
+        if max_depth < 1:
+            max_depth = np.iinfo(np.int32).max
+
+        ds_fn = jax.jit(downsample_epis)
+        level = raw
+        while (level.shape[0] > pyramid.min_spatial_dim
+               and level.shape[2] > pyramid.min_spatial_dim
+               and len(self.computers) < max_depth):
+            lvl_params = params.with_slope_factor(
+                level.shape[2] / start_dim_u)
+            if verbose:
+                print(f"level {len(self.computers)}: "
+                      f"(v={level.shape[0]}, u={level.shape[2]}) "
+                      f"slope_factor={lvl_params.slope_factor:.4f}")
+            self.computers.append(Depth2DComputer(
+                level.astype(jnp.uint8) if self.is_uint8 else level,
+                dmin, dmax, dim_d, epi_scale_factor, lvl_params,
+                verbose=verbose, use_pallas=use_pallas,
+                early_stop=early_stop))
+            self.level_params.append(lvl_params)
+            level = ds_fn(level)
+            if self.is_uint8:
+                # saturate_cast<uchar> rounding of the CV_8U pipeline
+                level = jnp.clip(jnp.round(level), 0, 255)
+
+        if pyramid.accept_all_last_scale:
+            self.computers[-1].set_accept_all(True)
+
+    def run(self):
+        bounds_fn = jax.jit(bounds_from_parent)
+        for p, computer in enumerate(self.computers):
+            if self.verbose:
+                print(f"running level {p}")
+            computer.run()
+            if p < len(self.computers) - 1:
+                nxt = self.computers[p + 1]
+                dmin_new, dmax_new = bounds_fn(
+                    computer.get_depths_s_v_u(),
+                    computer.get_valid_depths_mask_s_v_u(),
+                    nxt.dmin_s_v_u, nxt.dmax_s_v_u)
+                nxt.set_bounds(dmin_new, dmax_new)
+
+    def get_results(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Fused disparity maps + validity at the finest scale
+        (rslf_fine_to_coarse.hpp:302-322)."""
+        disp_pyr = [c.get_depths_s_v_u() for c in self.computers]
+        validity_pyr = [c.get_valid_depths_mask_s_v_u()
+                        for c in self.computers]
+        return jax.jit(fuse_disp_maps, static_argnums=2)(
+            disp_pyr, validity_pyr,
+            self.pyramid.final_median_filter_size)
+
+    def get_coloured_depth_maps(self, colormap: str = "jet",
+                                saturate: bool = True):
+        """Colormapped fused maps (rslf_fine_to_coarse.hpp:324-377)."""
+        from ..utils.plot import coloured_depth_maps
+        fused, validity = self.get_results()
+        return coloured_depth_maps(
+            fused, validity, self.computers[0].get_epis(),
+            self.params, colormap, saturate)

@@ -1,0 +1,119 @@
+"""Temporal depth propagation along EPI lines.
+
+TPU-native redesign of the reference's sequential propagation loop
+(rslf_depth_computation_core.hpp:1083-1129): after the sweep at a pass line
+s_hat, every source pixel (v, u) passing the propagation criterion paints
+its disparity along its own EPI line — target u' = u + round(d * (s_hat -
+s) * slope_factor) for every s — onto targets that are still unclaimed and
+radiance-close to the source's dominant radiance r_bar.  Painted targets
+are claimed (mask bit cleared) so later passes skip them.
+
+The reference resolves write conflicts implicitly: per (v, s) the u loop is
+sequential and first-writer-wins, so for a contested target the SMALLEST
+source u wins.  The dense redesign replicates this exactly without
+scatters: for each s-plane, iterate over the bounded set of integer line
+offsets o (o = u' - u = round(d * ds * slope)) from LARGE to SMALL,
+first-writer-wins via the claim bit — the largest o is the smallest u.
+All per-o work is full-plane shifted elementwise ops, ideal for the VPU.
+
+Semantics mirrored from the reference:
+* painted values come from the source pixel: the (median-filtered) sweep
+  depth (:1119), the disparity confidence (:1121), and under the line-
+  confidence variant also C_l (:1123) — generically, `payloads`;
+* the claim bit is cleared at the target (:1120);
+* round is std::round (half away from zero), :1109;
+* the radiance gate uses the sqrt(3)-scaled norm (< epsilon), :1116.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import DTYPE, normsq, round_half_away
+
+
+def propagate(
+    claim_s_v_u: jnp.ndarray,       # [S, V, U] bool (True = unclaimed)
+    frames_s_v_u_c: jnp.ndarray,    # [S, V, U, C] normalized volume
+    depth_f_v_u: jnp.ndarray,       # [V, U] filtered sweep depths at s_hat
+    rbar_v_u_c: jnp.ndarray,        # [V, U, C] dominant radiance at s_hat
+    source_mask_v_u: jnp.ndarray,   # [V, U] bool propagation criterion
+    s_hat,                           # traced int32
+    d_bounds: Tuple[float, float],   # static global (dmin, dmax) of level
+    slope_factor: float,
+    epsilon: float,
+    payloads: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+    # sequence of (target_s_v_u, source_v_u) pairs painted under the
+    # propagation condition; pass the depth volume itself as one of them.
+):
+    """One pass of line painting.
+
+    Returns:
+      (claim_s_v_u, tuple of updated target volumes in payload order).
+    """
+    S, V, U = claim_s_v_u.shape
+    s_hat = jnp.asarray(s_hat, jnp.int32)
+    dmin, dmax = d_bounds
+    eps_sq = DTYPE(epsilon) ** 2
+
+    offs_num_v_u = depth_f_v_u * DTYPE(slope_factor)  # offset per unit ds
+    u_idx = jnp.arange(U, dtype=jnp.int32)
+
+    targets = tuple(t for t, _ in payloads)
+    sources = tuple(s for _, s in payloads)
+
+    def per_s(s, carry):
+        claim, targets = carry
+        ds = (s_hat - s).astype(DTYPE)
+        cand = jnp.stack([
+            round_half_away(DTYPE(dmin) * ds * DTYPE(slope_factor)),
+            round_half_away(DTYPE(dmax) * ds * DTYPE(slope_factor)),
+        ])
+        o_lo = jnp.min(cand).astype(jnp.int32)
+        o_hi = jnp.max(cand).astype(jnp.int32)
+
+        offs_v_u = round_half_away(offs_num_v_u * ds)  # [V, U] float
+        frame = jax.lax.dynamic_index_in_dim(
+            frames_s_v_u_c, s, 0, keepdims=False)
+        claim_s = jax.lax.dynamic_index_in_dim(claim, s, 0, keepdims=False)
+        planes = tuple(
+            jax.lax.dynamic_index_in_dim(t, s, 0, keepdims=False)
+            for t in targets)
+
+        def per_o_step(i, inner):
+            # descending o: first-writer-wins == smallest source u wins,
+            # the reference's sequential order.
+            o = o_hi - i
+            claim_s, planes = inner
+            src_u = u_idx - o
+            in_range = (src_u >= 0) & (src_u < U)
+            src_uc = jnp.clip(src_u, 0, U - 1)
+
+            sm = source_mask_v_u[:, src_uc] & in_range[None, :]
+            off_sh = offs_v_u[:, src_uc]
+            rb_sh = rbar_v_u_c[:, src_uc, :]
+
+            radiance_ok = normsq(frame - rb_sh) < eps_sq
+            cond = sm & (off_sh == o.astype(DTYPE)) & claim_s & radiance_ok
+
+            planes = tuple(
+                jnp.where(cond, src[:, src_uc], plane)
+                for plane, src in zip(planes, sources))
+            claim_s = claim_s & ~cond
+            return claim_s, planes
+
+        claim_s, planes = jax.lax.fori_loop(
+            0, o_hi - o_lo + 1, per_o_step, (claim_s, planes))
+
+        claim = jax.lax.dynamic_update_index_in_dim(claim, claim_s, s, 0)
+        targets = tuple(
+            jax.lax.dynamic_update_index_in_dim(t, p, s, 0)
+            for t, p in zip(targets, planes))
+        return claim, targets
+
+    claim_out, targets_out = jax.lax.fori_loop(
+        0, S, per_s, (claim_s_v_u, targets))
+    return claim_out, targets_out

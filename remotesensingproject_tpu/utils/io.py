@@ -1,0 +1,223 @@
+"""I/O and EPI volume construction.
+
+TPU-native analog of rslf_io (include/rslf_io.hpp + src/rslf_io.cpp):
+folder scanning with lexicographic sort, image reading (PIL; optional
+native C++ fast path, see native/), transpose / rotate-180 input options,
+EPI volume construction as one dense array, OpenCV-YML-compatible matrix
+serialization, and npz dumps.
+
+The EPI "reslice" of the reference (build_epis_from_imgs,
+src/rslf_io.cpp:194-227 — a per-row copy loop) is a single transpose of
+the frame stack here.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# image reading
+# ---------------------------------------------------------------------------
+
+def list_images(path_to_folder: str, extension: str) -> List[str]:
+    """File stems with the given extension, lexicographically sorted
+    (mirrors read_imgs_from_folder's directory scan + std::sort,
+    src/rslf_io.cpp:60-76)."""
+    extension = extension.lstrip(".")
+    names = []
+    for fn in os.listdir(path_to_folder):
+        stem, dot, ext = fn.rpartition(".")
+        if dot and ext == extension:
+            names.append(stem)
+    names.sort()
+    return names
+
+
+def read_img_from_file(path_to_folder: str, name_we: str, extension: str,
+                       grayscale: Optional[bool] = None,
+                       transpose: bool = False,
+                       rotate_180: bool = False) -> np.ndarray:
+    """Read one image (rslf::read_img_from_file, src/rslf_io.cpp:11-44).
+
+    Args:
+      grayscale: None keeps the file's own format (IMREAD_UNCHANGED-like);
+        True forces single channel, False forces RGB.
+    """
+    from PIL import Image
+
+    extension = extension.lstrip(".")
+    path = os.path.join(path_to_folder, name_we + "." + extension)
+    im = Image.open(path)
+    if grayscale is True and im.mode not in ("F", "I", "L", "I;16"):
+        im = im.convert("L")
+    elif grayscale is False and im.mode not in ("RGB",):
+        im = im.convert("RGB")
+    a = np.asarray(im)
+    if transpose:
+        a = np.swapaxes(a, 0, 1)
+    if rotate_180:
+        a = a[::-1, ::-1].copy()
+    return a
+
+
+def read_imgs_from_folder(path_to_folder: str, extension: str,
+                          grayscale: Optional[bool] = None,
+                          transpose: bool = False,
+                          rotate_180: bool = False,
+                          use_native: bool = True) -> np.ndarray:
+    """Read a frame stack ``[S, H, W, C]`` (src/rslf_io.cpp:46-96).
+
+    Note the reference applies transpose/rotate TWICE for folder reads
+    (once inside read_img_from_file and once in the loop,
+    src/rslf_io.cpp:85-91) — we apply them once, which is what its callers
+    intend (they pass the flags only when the sensor layout needs it).
+    """
+    names = list_images(path_to_folder, extension)
+    if not names:
+        raise FileNotFoundError(
+            f"no *.{extension} files in {path_to_folder}")
+    if use_native:
+        try:
+            from ..native import loader as native_loader
+            stack = native_loader.read_stack(
+                path_to_folder, names, extension)
+            if stack is not None:
+                if transpose:
+                    stack = np.swapaxes(stack, 1, 2)
+                if rotate_180:
+                    stack = stack[:, ::-1, ::-1].copy()
+                return stack
+        except Exception:
+            pass
+    frames = [read_img_from_file(path_to_folder, n, extension, grayscale,
+                                 transpose, rotate_180) for n in names]
+    stack = np.stack(frames)
+    if stack.ndim == 3:
+        stack = stack[..., None]
+    return stack
+
+
+# ---------------------------------------------------------------------------
+# EPI construction
+# ---------------------------------------------------------------------------
+
+def build_epis_from_imgs(imgs_s_h_w_c: np.ndarray) -> np.ndarray:
+    """Frame stack -> EPI volume ``[V, S, U, C]``
+    (rslf::build_epis_from_imgs, src/rslf_io.cpp:194-227: the v-th EPI is
+    the stack of row v over all frames)."""
+    a = np.asarray(imgs_s_h_w_c)
+    if a.ndim == 3:
+        a = a[..., None]
+    return np.ascontiguousarray(np.swapaxes(a, 0, 1))
+
+
+def build_row_epi_from_imgs(imgs_s_h_w_c: np.ndarray, row: int) -> np.ndarray:
+    """One EPI ``[S, U, C]`` (src/rslf_io.cpp:158-192)."""
+    a = np.asarray(imgs_s_h_w_c)
+    if a.ndim == 3:
+        a = a[..., None]
+    return a[:, row]
+
+
+def build_row_epi_from_path(path_to_folder: str, extension: str, row: int,
+                            **kwargs) -> np.ndarray:
+    """Streaming variant (src/rslf_io.cpp:229-296): read only row `row`
+    of each frame."""
+    names = list_images(path_to_folder, extension)
+    rows = []
+    for n in names:
+        img = read_img_from_file(path_to_folder, n, extension, **kwargs)
+        rows.append(img[row])
+    epi = np.stack(rows)
+    if epi.ndim == 2:
+        epi = epi[..., None]
+    return epi
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+def write_img(img: np.ndarray, path_to_folder: str, name_we: str,
+              extension: str = "png"):
+    """rslf::write_mat_to_imgfile (src/rslf_io.cpp:120-133)."""
+    from PIL import Image
+
+    os.makedirs(path_to_folder, exist_ok=True)
+    path = os.path.join(path_to_folder, name_we + "." + extension.lstrip("."))
+    a = np.asarray(img)
+    if a.ndim == 3 and a.shape[-1] == 1:
+        a = a[..., 0]
+    Image.fromarray(a).save(path)
+    return path
+
+
+def write_npz(path_to_folder: str, name_we: str, **arrays):
+    os.makedirs(path_to_folder, exist_ok=True)
+    path = os.path.join(path_to_folder, name_we + ".npz")
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in arrays.items()})
+    return path
+
+
+# ---------------------------------------------------------------------------
+# OpenCV FileStorage YML interop (rslf::write_mat_to_yml /
+# read_mat_from_yml, src/rslf_io.cpp:98-156)
+# ---------------------------------------------------------------------------
+
+_CV_DT = {"u": np.uint8, "f": np.float32, "d": np.float64, "i": np.int32}
+
+
+def write_mat_to_yml(img: np.ndarray, path_to_folder: str, name_we: str,
+                     extension: str = "yml"):
+    """Write a matrix in OpenCV FileStorage YAML format (readable by the
+    reference's read_mat_from_yml)."""
+    a = np.asarray(img)
+    if a.ndim == 2:
+        a = a[..., None]
+    rows, cols, ch = a.shape
+    if a.dtype == np.uint8:
+        dt = "u"
+    elif a.dtype == np.float64:
+        dt = "d"
+    elif a.dtype == np.int32:
+        dt = "i"
+    else:
+        a = a.astype(np.float32)
+        dt = "f"
+    dts = dt if ch == 1 else f"{ch}{dt}"
+    os.makedirs(path_to_folder, exist_ok=True)
+    path = os.path.join(path_to_folder, name_we + "." + extension.lstrip("."))
+    flat = a.reshape(-1)
+    with open(path, "w") as f:
+        f.write("%YAML:1.0\n---\n")
+        f.write("img: !!opencv-matrix\n")
+        f.write(f"   rows: {rows}\n   cols: {cols}\n   dt: {dts}\n")
+        f.write("   data: [ ")
+        f.write(", ".join(repr(float(x)) if dt in "fd" else str(int(x))
+                          for x in flat))
+        f.write(" ]\n")
+    return path
+
+
+def read_mat_from_yml(path_to_folder: str, name_we: str,
+                      extension: str = "yml") -> np.ndarray:
+    """Read an OpenCV FileStorage YAML matrix (single top-level node)."""
+    path = os.path.join(path_to_folder, name_we + "." + extension.lstrip("."))
+    with open(path) as f:
+        text = f.read()
+    rows = int(re.search(r"rows:\s*(\d+)", text).group(1))
+    cols = int(re.search(r"cols:\s*(\d+)", text).group(1))
+    dts = re.search(r"dt:\s*\"?(\w+)\"?", text).group(1)
+    m = re.match(r"(\d*)([ufdi])", dts)
+    ch = int(m.group(1)) if m.group(1) else 1
+    dtype = _CV_DT[m.group(2)]
+    data = re.search(r"data:\s*\[(.*?)\]", text, re.S).group(1)
+    vals = np.array([float(x) for x in data.replace("\n", " ").split(",")],
+                    dtype=dtype)
+    a = vals.reshape(rows, cols, ch)
+    return a[..., 0] if ch == 1 else a

@@ -171,35 +171,46 @@ def propagate(best_depth_s_v_u, disp_conf_s_v_u, claim_s_v_u,
 def make_synthetic_lf(S=12, V=8, U=40, C=1, n_objects=4, seed=0,
                       dmin=-1.0, dmax=2.0):
     """Synthetic light field: textured fronto-parallel strips moving with
-    per-strip disparity; returns (volume [V, S, U, C] float32 in [0,1],
+    per-strip disparity, rendered with proper occlusion (larger disparity
+    = nearer = wins).  Returns (volume [V, S, U, C] float32 in (0, 1],
     gt_disparity [V, U] at s_hat = S//2)."""
     rng = np.random.default_rng(seed)
     s_hat = S // 2
-    # layered scene: farthest first; each layer has a disparity and a
-    # random texture over u
     n_layers = n_objects
-    disps = np.sort(rng.uniform(dmin, dmax, n_layers))[::-1]
-    vol = np.zeros((V, S, U, C), np.float32)
-    gt = np.zeros((V, U), np.float32)
-    # paint from back to front: nearer (larger d) overwrites
-    tex = rng.uniform(0.1, 1.0, (n_layers, V, 3 * U, C)).astype(np.float32)
-    # smooth textures a bit along u to be interpolation-friendly
-    for i in range(2):
+    # background (layer 0) covers everything; foreground strips nearer.
+    disps = np.sort(rng.uniform(dmin, dmax, n_layers))
+    # strip intervals at s_hat (in columns), background = whole width
+    intervals = [(-10 * U, 10 * U)]
+    for _ in range(1, n_layers):
+        a = rng.integers(0, U - 4)
+        b = a + rng.integers(3, max(4, U // 3))
+        intervals.append((int(a), int(b)))
+    tex = rng.uniform(0.15, 1.0, (n_layers, V, 5 * U, C)).astype(np.float32)
+    for _ in range(2):  # smooth along u for interpolation-friendliness
         tex = 0.5 * tex + 0.25 * np.roll(tex, 1, axis=2) \
             + 0.25 * np.roll(tex, -1, axis=2)
-    masks = rng.uniform(size=(n_layers, U)) < 0.5
-    masks[0] = True  # background everywhere
-    for li in range(n_layers):
-        d = disps[li]
-        for s in range(S):
+
+    vol = np.zeros((V, S, U, C), np.float32)
+    gt = np.zeros((V, U), np.float32)
+
+    def render(s, u):
+        # nearest covering layer wins (largest disparity index is last)
+        for li in reversed(range(n_layers)):
+            d = disps[li]
             shift = (s_hat - s) * d
-            for u in range(U):
-                if masks[li, u]:
-                    src = u + shift + U  # sample texture (wide) linearly
-                    f = int(np.floor(src))
-                    t = src - f
-                    for v in range(V):
-                        val = (1 - t) * tex[li, v, f] + t * tex[li, v, f + 1]
-                        vol[v, s, u] = val
-        gt[:, masks[li]] = d
+            u0 = u - shift  # layer-local coordinate at s_hat
+            a, b = intervals[li]
+            if a <= u0 <= b:
+                src = u0 + 2 * U
+                f = int(np.floor(src))
+                t = src - f
+                return li, (1 - t) * tex[li, :, f] + t * tex[li, :, f + 1]
+        raise AssertionError("background covers all")
+
+    for s in range(S):
+        for u in range(U):
+            li, val = render(s, u)
+            vol[:, s, u] = val
+            if s == s_hat:
+                gt[:, u] = disps[li]
     return vol, gt

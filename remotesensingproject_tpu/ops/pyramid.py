@@ -14,7 +14,7 @@ OpenCV semantics mirrored:
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,18 +61,28 @@ def cv_resize_shape(dim: int, scale: float = 0.5) -> int:
     return int(np.rint(dim * scale))
 
 
-def resize_bilinear_cv(img, out_shape: Tuple[int, int]):
+def resize_bilinear_cv(img, out_shape: Tuple[int, int],
+                       scales: Optional[Tuple[float, float]] = None):
     """cv::resize INTER_LINEAR replica (half-pixel centers, clamped).
+
+    When cv::resize is called with explicit fx/fy factors (as the
+    reference's downsample does with 0.5, fine_to_coarse_core.cpp:41),
+    OpenCV samples with THOSE scales even if the rounded output size
+    implies a slightly different ratio — pass ``scales`` = (1/fy, 1/fx)
+    to replicate; with an explicit dsize (the fusion upsamples) OpenCV
+    derives scales from the sizes, the default here.
 
     Args:
       img: ``[..., V, U]``.
       out_shape: (V2, U2).
+      scales: optional (src/dst) sampling scales per axis.
     """
     V, U = img.shape[-2:]
     V2, U2 = out_shape
 
-    def axis_weights(n_in, n_out):
-        scale = n_in / n_out
+    def axis_weights(n_in, n_out, scale):
+        if scale is None:
+            scale = n_in / n_out
         src = (np.arange(n_out, dtype=np.float64) + 0.5) * scale - 0.5
         i0 = np.floor(src).astype(np.int64)
         t = (src - i0).astype(np.float32)
@@ -85,8 +95,9 @@ def resize_bilinear_cv(img, out_shape: Tuple[int, int]):
         i1c = np.clip(i0 + 1, 0, n_in - 1)
         return jnp.asarray(i0c), jnp.asarray(i1c), jnp.asarray(t)
 
-    v0, v1, tv = axis_weights(V, V2)
-    u0, u1, tu = axis_weights(U, U2)
+    sv, su = scales if scales is not None else (None, None)
+    v0, v1, tv = axis_weights(V, V2, sv)
+    u0, u1, tu = axis_weights(U, U2, su)
 
     a = jnp.take(img, v0, axis=-2)
     b = jnp.take(img, v1, axis=-2)
@@ -122,7 +133,8 @@ def downsample_epis(epis_v_s_u_c):
     frames = jnp.transpose(epis_v_s_u_c, (1, 3, 0, 2))  # [S, C, V, U]
     blurred = gaussian_blur_vu(frames)
     V2, U2 = cv_resize_shape(V), cv_resize_shape(U)
-    small = resize_bilinear_cv(blurred, (V2, U2))  # [S, C, V2, U2]
+    # fx=fy=0.5 given explicitly -> sampling scale exactly 2.0
+    small = resize_bilinear_cv(blurred, (V2, U2), scales=(2.0, 2.0))
     return jnp.transpose(small, (2, 0, 3, 1))  # [V2, S, U2, C]
 
 

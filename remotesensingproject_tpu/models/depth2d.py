@@ -243,7 +243,7 @@ class Depth2DComputer:
             line_conf=jnp.zeros((S, V, U), DTYPE),
             best_depth=jnp.zeros((S, V, U), DTYPE),
             rbar=jnp.zeros((S, V, U, C), DTYPE),
-            claim=ce_mask,
+            claim=ce_mask.copy(),  # distinct buffer (donation-safe)
         )
 
         fwd = jax.jit(

@@ -152,11 +152,19 @@ def sweep_epi(epi_s_u_c, dmin_u, dmax_u, dim_d, s_hat, params: DepthParams,
     rbar_init = jax.lax.dynamic_index_in_dim(epi_s_u_c, s_hat, axis=0,
                                              keepdims=False)  # [U, C]
 
-    dstep = (dmax_u - dmin_u) / DTYPE(dim_d - 1)
+    drange = dmax_u - dmin_u
 
     def per_d(carry, d):
         best_score, best_depth, score_sum, rbar_b, k_b = carry
-        delta_u = dmin_u + d.astype(DTYPE) * dstep  # [U]
+        # float32 op order matches the reference exactly
+        # (core.hpp:548: dmin + d * (dmax - dmin) / (dim_d - 1)) so that
+        # half-integer propagation offsets round identically.  The
+        # optimization barriers stop XLA from rewriting the division into
+        # a multiply-by-reciprocal (which perturbs the last ulp and flips
+        # exactly-half offsets).
+        num = jax.lax.optimization_barrier(d.astype(DTYPE) * drange)
+        den = jax.lax.optimization_barrier(jnp.asarray(DTYPE(dim_d - 1)))
+        delta_u = dmin_u + jax.lax.optimization_barrier(num / den)
         valpos, valraw, valid = _radiances_for_d(
             epi_s_u_c, delta_u, s_hat, params.slope_factor,
             params.interpolation)

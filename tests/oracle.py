@@ -83,8 +83,11 @@ def sweep_pixel(epi_s_u_c, u, dmin, dmax, dim_d, s_hat, h=0.2,
     """Full sweep at one pixel: returns (scores [D], best_d_index,
     best_depth, rbar_at_best [C], k_last [S, D], card_R [D])."""
     S, U, C = epi_s_u_c.shape
-    D = np.array([dmin + d * (dmax - dmin) / (dim_d - 1)
-                  for d in range(dim_d)], np.float32)
+    # float32 op order as in the C++ (core.hpp:548)
+    f32 = np.float32
+    D = np.array([f32(f32(dmin) + f32(f32(f32(d) * f32(f32(dmax) -
+                  f32(dmin))) / f32(dim_d - 1))) for d in range(dim_d)],
+                 np.float32)
     # radiances
     r = np.zeros((S, dim_d, C), np.float32)
     valid = np.zeros((S, dim_d), bool)

@@ -1,0 +1,105 @@
+"""End-to-end Depth2DComputer parity vs a sequential NumPy oracle."""
+
+import numpy as np
+import pytest
+
+import oracle
+
+import jax.numpy as jnp
+
+from remotesensingproject_tpu.config import DepthParams
+from remotesensingproject_tpu.models.depth2d import (
+    Depth2DComputer, center_outward_schedule)
+
+
+def depth2d_oracle(vol_v_s_u_c, dmin, dmax, dim_d, params: DepthParams):
+    """Sequential transliteration of Depth2DComputer::run +
+    compute_2D_depth_epi (core.hpp:933-1133), default score version."""
+    vol = np.asarray(vol_v_s_u_c, np.float32)
+    scale = vol.max()
+    epis = vol / scale
+    V, S, U, C = epis.shape
+    frames = np.transpose(epis, (1, 0, 2, 3))
+
+    ce = np.zeros((S, V, U), np.float32)
+    mask = np.zeros((S, V, U), bool)
+    for s in range(S):
+        for v in range(V):
+            ce[s, v], mask[s, v] = oracle.edge_confidence_row(
+                epis[v, s], params.edge_confidence_filter_size,
+                params.shadow_level, params.cut_shadows,
+                params.edge_score_threshold)
+    claim = mask.copy()
+    best_depth = np.zeros((S, V, U), np.float32)
+    disp_conf = np.zeros((S, V, U), np.float32)
+    rbar = np.zeros((S, V, U, C), np.float32)
+
+    for s_hat in center_outward_schedule(S):
+        claim[s_hat] &= mask[s_hat]
+        active = claim[s_hat].copy()
+        for v in range(V):
+            for u in range(U):
+                if not active[v, u]:
+                    continue
+                scores, best, depth, rb, _, _ = oracle.sweep_pixel(
+                    epis[v], u, dmin, dmax, dim_d, s_hat,
+                    h=params.kernel_h,
+                    slope_factor=params.slope_factor,
+                    n_iter=params.mean_shift_max_iter)
+                if scores[best] > params.raw_score_threshold:
+                    best_depth[s_hat, v, u] = depth
+                    disp_conf[s_hat, v, u] = ce[s_hat, v, u] * abs(
+                        scores[best] - scores.mean())
+                    rbar[s_hat, v, u] = rb
+                else:
+                    ce[s_hat, v, u] = 0.0
+                    mask[s_hat, v, u] = False
+        filtered = oracle.selective_median(
+            best_depth[s_hat], frames[s_hat], mask[s_hat],
+            params.median_filter_size, params.median_filter_epsilon)
+        oracle.propagate(best_depth, disp_conf, claim, frames, filtered,
+                         rbar[s_hat], disp_conf[s_hat].copy(),
+                         mask[s_hat], s_hat, params.slope_factor,
+                         params.propagation_epsilon)
+    return dict(ce=ce, mask=mask, claim=claim, best_depth=best_depth,
+                disp_conf=disp_conf, rbar=rbar)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_depth2d_matches_sequential_oracle(seed):
+    vol, _ = oracle.make_synthetic_lf(S=6, V=4, U=20, C=1, n_objects=3,
+                                      seed=seed, dmin=-1.0, dmax=1.5)
+    params = DepthParams()
+    dmin, dmax, dim_d = -1.0, 1.5, 7
+
+    want = depth2d_oracle(vol, dmin, dmax, dim_d, params)
+
+    computer = Depth2DComputer(jnp.asarray(vol), dmin, dmax, dim_d,
+                               params=params, use_pallas=False,
+                               early_stop=False)
+    state = computer.run()
+
+    np.testing.assert_allclose(np.asarray(state.ce), want["ce"], atol=3e-5)
+    assert (np.asarray(state.ce_mask) == want["mask"]).all()
+    assert (np.asarray(state.claim) == want["claim"]).all()
+    np.testing.assert_allclose(np.asarray(state.best_depth),
+                               want["best_depth"], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(state.disp_conf),
+                               want["disp_conf"], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(state.rbar)[..., 0],
+                               want["rbar"][..., 0], atol=3e-5)
+
+
+def test_depth2d_early_stop_consistent():
+    vol, _ = oracle.make_synthetic_lf(S=6, V=4, U=20, C=1, n_objects=2,
+                                      seed=2)
+    a = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5, use_pallas=False,
+                        early_stop=False)
+    b = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5, use_pallas=False,
+                        early_stop=True)
+    sa, sb = a.run(), b.run()
+    # early stop may only skip passes that would not change the depth maps
+    # on confident pixels; require near-identical maps
+    da = np.asarray(sa.best_depth)
+    db = np.asarray(sb.best_depth)
+    assert np.abs(da - db).max() < 1e-6

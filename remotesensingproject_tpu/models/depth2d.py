@@ -121,8 +121,8 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, state: Depth2DState,
     with_k = params.score_version == "line"
     if use_pallas and uniform_bounds:
         from ..ops.sweep_pallas import sweep_pile_pallas
-        res = sweep_pile_pallas(epis, dmin_v_u, dmax_v_u, dim_d, s_hat,
-                                params, with_k_best=with_k)
+        res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
+                                s_hat, params, with_k_best=with_k)
     else:
         res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params,
                          with_k_best=with_k)

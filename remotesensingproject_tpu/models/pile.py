@@ -34,11 +34,13 @@ class PileResult(NamedTuple):
 
 def _pile_forward(epis, dmin_v_u, dmax_v_u, s_hat, dim_d,
                   params: DepthParams, use_pallas: bool,
-                  uniform_bounds: bool):
+                  d_bounds=None):
     """Jittable single-pass pile computation.
 
     Args:
       epis: ``[V, S, U, C]`` normalized volume.
+      d_bounds: static (dmin, dmax) floats; when given and use_pallas,
+        the uniform-bounds Pallas kernel serves the sweep.
     """
     V, S, U, C = epis.shape
     s_hat = jnp.asarray(s_hat, jnp.int32)
@@ -47,10 +49,10 @@ def _pile_forward(epis, dmin_v_u, dmax_v_u, s_hat, dim_d,
         jnp.transpose(epis, (1, 0, 2, 3)), s_hat, 0, keepdims=False)
     ce, mask = edge_confidence_frame(frame, params)
 
-    if use_pallas and uniform_bounds:
+    if use_pallas and d_bounds is not None:
         from ..ops.sweep_pallas import sweep_pile_pallas
-        res = sweep_pile_pallas(epis, dmin_v_u, dmax_v_u, dim_d, s_hat,
-                                params)
+        res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
+                                s_hat, params)
     else:
         res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params)
 
@@ -102,7 +104,8 @@ class Depth1DComputerPile:
         dmax_v_u = jnp.full((V, U), self.dmax, DTYPE)
         fwd = jax.jit(functools.partial(
             _pile_forward, dim_d=self.dim_d, params=self.params,
-            use_pallas=self.use_pallas, uniform_bounds=True))
+            use_pallas=self.use_pallas,
+            d_bounds=(self.dmin, self.dmax)))
         self.result = jax.block_until_ready(
             fwd(self.epis, dmin_v_u, dmax_v_u, jnp.int32(self.s_hat)))
         return self.result

@@ -213,10 +213,12 @@ def sweep_pile(epis_v_s_u_c, dmin_v_u, dmax_v_u, dim_d, s_hat,
 
     pad_v = (-V) % v_chunk
     if pad_v:
-        epis_p = jnp.concatenate(
-            [epis_v_s_u_c, epis_v_s_u_c[:pad_v]], axis=0)
-        dmin_p = jnp.concatenate([dmin_v_u, dmin_v_u[:pad_v]], axis=0)
-        dmax_p = jnp.concatenate([dmax_v_u, dmax_v_u[:pad_v]], axis=0)
+        def pad_rows(x):
+            return jnp.pad(x, [(0, pad_v)] + [(0, 0)] * (x.ndim - 1),
+                           mode="edge")
+        epis_p = pad_rows(epis_v_s_u_c)
+        dmin_p = pad_rows(dmin_v_u)
+        dmax_p = pad_rows(dmax_v_u)
     else:
         epis_p, dmin_p, dmax_p = epis_v_s_u_c, dmin_v_u, dmax_v_u
     Vp = V + pad_v

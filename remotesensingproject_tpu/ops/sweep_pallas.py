@@ -15,8 +15,9 @@ Design (one grid step per EPI row v):
   shifted rows with a scalar weight.  No per-lane gather, no index
   matrices (the reference materializes I = S*D + u per pixel, which a
   vector machine does not need).
-* out-of-range samples are NaN by construction (the pad), reproducing the
-  reference's interpolation validity rule (rslf_interpolation.hpp:182).
+* out-of-range samples are zero with a separate arithmetic validity mask
+  (a per-(s,d) u-interval), reproducing the reference's interpolation
+  validity rule (rslf_interpolation.hpp:182) without NaNs in the kernel.
 * the truncated mean shift runs as (S, U)-shaped VPU array ops inside a
   fori over the d candidates, carrying running argmax state as [U] rows —
   the d axis never materializes in memory.
@@ -61,89 +62,119 @@ def _round_up(x: int, m: int) -> int:
 
 def _sweep_kernel(s_hat_ref, dvec_ref, epi_ref,
                   best_score_ref, score_sum_ref, best_depth_ref,
-                  rbar_ref, kbest_ref, shear_ref, *,
-                  S: int, U: int, C: int, PAD: int, dim_d: int,
+                  rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                  S: int, U: int, Ux: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
                   iters: int, with_k_best: bool):
-    """One EPI row: full (d, mean-shift) sweep.  See module docstring."""
+    """One EPI row: full (d, mean-shift) sweep.  See module docstring.
+
+    ``Ux`` is the 128-aligned compute width (>= U); surplus lanes compute
+    garbage that the wrapper slices off — all lane ops are element-wise so
+    they never contaminate real lanes.
+
+    The kernel is NaN-free: the EPI is ZERO-padded and sample validity is
+    the interval  -floor(shift) <= u <= U-1-ceil(shift)  (the reference's
+    interpolation rule, rslf_interpolation.hpp:182, specialised to a
+    per-(s,d) scalar shift), evaluated as lane-iota compares.
+    """
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
     S_tot = S + s_pad
+    W = Ux + 128  # aligned window width for the rotate-based gather
+    lane_u = jax.lax.broadcasted_iota(jnp.int32, (1, Ux), 1)
 
     def sweep_one_d(d, carry):
         best_score, best_depth, score_sum, rbar, kbest = carry
         dval = dvec_ref[0, d]
 
-        # ---- sheared gather: dynamic slices at per-(s,d) offsets -------
+        # ---- sheared gather ------------------------------------------
+        # Mosaic only allows 128-aligned dynamic slices on the lane dim:
+        # load an aligned window around the offset and lane-rotate the
+        # residue into place (tpu dynamic rotate).
         def gather_s(s, _):
             shift = (s_hat - s).astype(DTYPE) * dval * DTYPE(slope_factor)
             i0 = jnp.floor(shift)
             t = shift - i0
-            start = i0.astype(jnp.int32) + PAD
+            i0i = i0.astype(jnp.int32)
+            start = i0i + PAD
+            rem = jax.lax.rem(start, 128)
+            base = pl.multiple_of(start - rem, 128)
+            # validity interval: floor(u+shift) >= 0 and
+            # ceil(u+shift) <= U-1  (ceil = i0i + (t > 0))
+            ceil_off = i0i + (t > 0).astype(jnp.int32)
+            ok_row = jnp.logical_and(
+                lane_u >= -i0i,
+                lane_u <= (U - 1) - ceil_off)
+            ok_row = jnp.logical_and(ok_row, s < S)
+            valid_ref[pl.ds(s, 1), :] = ok_row.astype(DTYPE)
             for c in range(C):
-                row_a = epi_ref[0, c, s, pl.ds(start, U)]
-                row_b = epi_ref[0, c, s, pl.ds(start + 1, U)]
+                win = epi_ref[0, c, pl.ds(s, 1), pl.ds(base, W)]  # (1, W)
+                row_a = pltpu.roll(win, -rem, axis=1)[:, :Ux]
+                row_b = pltpu.roll(win, -(rem + 1), axis=1)[:, :Ux]
                 blend = (DTYPE(1.0) - t) * row_a + t * row_b
-                shear_ref[c, s, :] = jnp.where(t == 0, row_a, blend)
+                shear_ref[c, pl.ds(s, 1), :] = jnp.where(
+                    t == 0, row_a, blend)
             return 0
 
-        jax.lax.fori_loop(0, S_tot, gather_s, 0, unroll=4)
+        jax.lax.fori_loop(0, S_tot, gather_s, 0)
 
-        shear = shear_ref[:, :, :]                       # [C, S_tot, U]
-        valid = jnp.logical_not(jnp.isnan(shear[0]))     # [S_tot, U]
-        validf = valid.astype(DTYPE)
-        r0 = jnp.where(jnp.isnan(shear), 0.0, shear)     # signed, 0-filled
+        validf = valid_ref[:, :]                         # [S_tot, Ux]
+        r0 = shear_ref[:, :, :] * validf                 # signed, 0-filled
         rpos = jnp.maximum(r0, 0.0)                      # un-nanified
-        card = jnp.sum(validf, axis=0)                   # [U]
+        card = jnp.sum(validf, axis=0, keepdims=True)    # [1, Ux]
 
         # r_bar init: the s_hat row (shift 0 there, core.hpp:577);
         # read through the ref (dynamic scalar index on a ref is cheap).
-        rbar0 = jnp.stack([shear_ref[c, s_hat, :] for c in range(C)])
+        rbar0 = jnp.concatenate(
+            [shear_ref[c, pl.ds(s_hat, 1), :] for c in range(C)], axis=0)
 
         def ms_iter(_, state):
             rbar_d, _k_last = state
-            sq = jnp.zeros((S_tot, U), DTYPE)
+            sq = jnp.zeros((S_tot, Ux), DTYPE)
             for c in range(C):
-                diff = r0[c] - rbar_d[c][None, :]
+                diff = r0[c] - rbar_d[c:c + 1, :]
                 sq = sq + diff * diff
-            k = jnp.maximum(1.0 - a * sq, 0.0) * validf  # [S_tot, U]
-            sum_k = jnp.sum(k, axis=0)                   # [U]
-            nums = [jnp.sum(rpos[c] * k, axis=0) for c in range(C)]
-            new_rbar = jnp.stack([
-                jnp.where(sum_k > 0, n / sum_k, 0.0) for n in nums])
+            k = jnp.maximum(1.0 - a * sq, 0.0) * validf  # [S_tot, Ux]
+            sum_k = jnp.sum(k, axis=0, keepdims=True)    # [1, Ux]
+            nums = [jnp.sum(rpos[c] * k, axis=0, keepdims=True)
+                    for c in range(C)]
+            new_rbar = jnp.concatenate([
+                jnp.where(sum_k > 0, n / sum_k, 0.0) for n in nums],
+                axis=0)                                  # [C, Ux]
             return new_rbar, k
 
-        k0 = jnp.zeros((S_tot, U), DTYPE)
+        k0 = jnp.zeros((S_tot, Ux), DTYPE)
         rbar_d, k_last = jax.lax.fori_loop(
             0, iters, ms_iter, (rbar0, k0))
 
         # score from the LAST iteration's kernel values (core.hpp:612-622)
-        sum_k = jnp.sum(k_last, axis=0)
-        score = jnp.where(card > 0, sum_k / card, 0.0)   # [U]
+        sum_k = jnp.sum(k_last, axis=0, keepdims=True)
+        score = jnp.where(card > 0, sum_k / card, 0.0)   # [1, Ux]
 
-        better = score > best_score
+        better = score > best_score                      # [1, Ux]
         best_score = jnp.where(better, score, best_score)
         best_depth = jnp.where(better, dval, best_depth)
-        rbar = jnp.where(better[None, :], rbar_d, rbar)
+        rbar = jnp.where(better, rbar_d, rbar)
         if with_k_best:
-            kbest = jnp.where(better[None, :], k_last, kbest)
+            kbest = jnp.where(better, k_last, kbest)
         score_sum = score_sum + score
         return best_score, best_depth, score_sum, rbar, kbest
 
-    kbest_init = jnp.zeros((S_tot, U) if with_k_best else (8, 128), DTYPE)
+    kbest_init = jnp.zeros((S_tot, Ux) if with_k_best else (8, 128),
+                           DTYPE)
     init = (
-        jnp.full((U,), -1.0, DTYPE),
-        jnp.zeros((U,), DTYPE),
-        jnp.zeros((U,), DTYPE),
-        jnp.zeros((C, U), DTYPE),
+        jnp.full((1, Ux), -1.0, DTYPE),
+        jnp.zeros((1, Ux), DTYPE),
+        jnp.zeros((1, Ux), DTYPE),
+        jnp.zeros((C, Ux), DTYPE),
         kbest_init,
     )
     best_score, best_depth, score_sum, rbar, kbest = jax.lax.fori_loop(
         0, dim_d, sweep_one_d, init)
 
-    best_score_ref[0, :] = best_score
-    score_sum_ref[0, :] = score_sum
-    best_depth_ref[0, :] = best_depth
+    best_score_ref[0, :, :] = best_score
+    score_sum_ref[0, :, :] = score_sum
+    best_depth_ref[0, :, :] = best_depth
     rbar_ref[0, :, :] = rbar
     if with_k_best:
         kbest_ref[0, :, :] = kbest
@@ -151,26 +182,28 @@ def _sweep_kernel(s_hat_ref, dvec_ref, epi_ref,
 
 def prepare_padded_epis(epis_v_s_u_c, dmin: float, dmax: float,
                         slope_factor: float):
-    """NaN-pad the EPI volume along u for the slice-based gather and
-    transpose to the kernel layout ``[V, C, S_tot, U + 2*PAD]``.
+    """NaN-pad the EPI volume along u for the rotate-based gather and
+    transpose to the kernel layout ``[V, C, S_tot, U_tot]``.
 
-    PAD covers the maximum |(s_hat - s) * d * slope| plus the +1 of the
-    linear blend; S is padded to a sublane multiple with NaN rows (they
-    contribute zero weight via the validity mask).
+    The left pad PAD covers the maximum |(s_hat - s) * d * slope| plus the
+    +1 of the linear blend; the right pad additionally covers the aligned
+    window (base + Ux + 128 must stay in bounds).  S is padded to a
+    sublane multiple with NaN rows (zero weight via the validity mask).
     """
     V, S, U, C = epis_v_s_u_c.shape
     max_abs_d = max(abs(dmin), abs(dmax))
     pad_f = int(np.ceil(S * max_abs_d * slope_factor)) + 2
-    upad_total = _round_up(U + 2 * pad_f, 128)
-    extra = upad_total - (U + 2 * pad_f)
-    pad_left = pad_f
-    pad_right = pad_f + extra
+    Ux = _round_up(U, 128)
+    # max window end: base + Ux + 128 <= start_max + Ux + 128
+    #               <= (pad_f + pad_f) + Ux + 128
+    right_needed = pad_f + (Ux - U) + pad_f + 256
+    U_tot = _round_up(pad_f + U + right_needed, 128)
+    pad_right = U_tot - U - pad_f
     s_pad = _round_up(S, 8) - S
 
     x = jnp.transpose(epis_v_s_u_c, (0, 3, 1, 2))  # [V, C, S, U]
-    x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad), (pad_left, pad_right)),
-                constant_values=np.nan)
-    return x, pad_left, s_pad
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, s_pad), (pad_f, pad_right)))
+    return x, pad_f, s_pad
 
 
 def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
@@ -201,25 +234,30 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
     dvec = candidate_disparities(dmin, dmax, dim_d)[None, :]  # (1, D)
     s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
 
+    Ux = _round_up(U, 128)
     kernel = functools.partial(
-        _sweep_kernel, S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
+        _sweep_kernel, S=S, U=U, Ux=Ux, C=C, PAD=PAD, dim_d=dim_d,
+        s_pad=s_pad,
         slope_factor=params.slope_factor, h=params.kernel_h,
         iters=params.mean_shift_max_iter, with_k_best=with_k_best)
 
     kb_S = S_tot if with_k_best else 8
-    kb_U = U if with_k_best else 128
+    kb_U = Ux if with_k_best else 128
     out_shapes = [
-        jax.ShapeDtypeStruct((V, U), DTYPE),          # best_score
-        jax.ShapeDtypeStruct((V, U), DTYPE),          # score_sum
-        jax.ShapeDtypeStruct((V, U), DTYPE),          # best_depth
-        jax.ShapeDtypeStruct((V, C, U), DTYPE),       # rbar
+        jax.ShapeDtypeStruct((V, 1, Ux), DTYPE),       # best_score
+        jax.ShapeDtypeStruct((V, 1, Ux), DTYPE),       # score_sum
+        jax.ShapeDtypeStruct((V, 1, Ux), DTYPE),       # best_depth
+        jax.ShapeDtypeStruct((V, C, Ux), DTYPE),       # rbar
         jax.ShapeDtypeStruct((V, kb_S, kb_U), DTYPE),  # kbest
     ]
     out_specs = [
-        pl.BlockSpec((1, U), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, U), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, U), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, U), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Ux), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Ux), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Ux), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, Ux), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, kb_S, kb_U), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -237,7 +275,8 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((C, S_tot, U), DTYPE)],
+        scratch_shapes=[pltpu.VMEM((C, S_tot, Ux), DTYPE),
+                        pltpu.VMEM((S_tot, Ux), DTYPE)],
     )
 
     best_score, score_sum, best_depth, rbar, kbest = pl.pallas_call(
@@ -248,14 +287,14 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
     )(s_hat_arr, jnp.asarray(dvec), epi_pad)
 
     if with_k_best:
-        k_best = jnp.transpose(kbest[:, :S, :], (0, 1, 2))
+        k_best = kbest[:, :S, :U]
     else:
         k_best = jnp.zeros((V, S, U), DTYPE)
 
     return SweepResult(
-        best_score=best_score,
-        score_mean=score_sum / DTYPE(dim_d),
-        best_depth=best_depth,
-        rbar=jnp.transpose(rbar, (0, 2, 1)),
+        best_score=best_score[:, 0, :U],
+        score_mean=score_sum[:, 0, :U] / DTYPE(dim_d),
+        best_depth=best_depth[:, 0, :U],
+        rbar=jnp.transpose(rbar[:, :, :U], (0, 2, 1)),
         k_best=k_best,
     )

@@ -1,0 +1,80 @@
+"""Multi-device (8 virtual CPU) sharding: exactness vs single-device."""
+
+import functools
+
+import numpy as np
+import pytest
+
+import oracle
+
+import jax
+import jax.numpy as jnp
+
+from remotesensingproject_tpu.config import DepthParams
+from remotesensingproject_tpu.models.depth2d import (
+    Depth2DState, _pass_fn)
+from remotesensingproject_tpu.ops.edge_confidence import (
+    edge_confidence_volume)
+from remotesensingproject_tpu.parallel.mesh import make_mesh
+from remotesensingproject_tpu.parallel.sharding import (
+    shard_planes, shard_volume, sharded_pass)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_pass_matches_single_device():
+    vol, _ = oracle.make_synthetic_lf(S=6, V=16, U=24, C=1, n_objects=3,
+                                      seed=9, dmin=-1.0, dmax=1.5)
+    params = DepthParams()
+    dim_d, dmin, dmax = 5, -1.0, 1.5
+    V, S, U, C = vol.shape
+    s_hat = S // 2
+
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    frames = jnp.transpose(epis, (1, 0, 2, 3))
+    ce_vsu, mask_vsu = edge_confidence_volume(epis, params)
+    ce = jnp.transpose(ce_vsu, (1, 0, 2))
+    mask = jnp.transpose(mask_vsu, (1, 0, 2))
+
+    # --- single-device reference pass
+    state = Depth2DState(
+        ce=ce, ce_mask=mask,
+        disp_conf=jnp.zeros((S, V, U)), line_conf=jnp.zeros((S, V, U)),
+        best_depth=jnp.zeros((S, V, U)),
+        rbar=jnp.zeros((S, V, U, C)), claim=mask.copy())
+    fwd = jax.jit(functools.partial(
+        _pass_fn, dim_d=dim_d, params=params, d_bounds=(dmin, dmax),
+        use_pallas=False, uniform_bounds=True))
+    ref = fwd(epis, frames, jnp.full((S, V, U), dmin, jnp.float32),
+              jnp.full((S, V, U), dmax, jnp.float32), state,
+              jnp.int32(s_hat))
+
+    # --- sharded pass on the 8-device mesh
+    mesh = make_mesh()
+    epis_sh = shard_volume(epis, mesh)
+    frames_sh = shard_planes(frames, mesh)
+    pass_fn = sharded_pass(mesh, dim_d, params, (dmin, dmax))
+    (ce_new, mask_new, claim, best_depth, disp_conf, rbar,
+     remaining) = pass_fn(
+        epis_sh, frames_sh,
+        jnp.full((V, U), dmin, jnp.float32),
+        jnp.full((V, U), dmax, jnp.float32),
+        ce[s_hat], mask[s_hat], shard_planes(mask.copy(), mesh),
+        shard_planes(jnp.zeros((S, V, U)), mesh),
+        shard_planes(jnp.zeros((S, V, U)), mesh),
+        shard_planes(jnp.zeros((S, V, U, C)), mesh),
+        jnp.int32(s_hat))
+
+    assert np.allclose(np.asarray(ce_new),
+                       np.asarray(ref.ce)[s_hat], atol=1e-6)
+    assert (np.asarray(mask_new) == np.asarray(ref.ce_mask)[s_hat]).all()
+    assert (np.asarray(claim) == np.asarray(ref.claim)).all()
+    assert np.allclose(np.asarray(best_depth),
+                       np.asarray(ref.best_depth), atol=1e-6)
+    assert np.allclose(np.asarray(disp_conf),
+                       np.asarray(ref.disp_conf), atol=1e-5)
+    assert np.allclose(np.asarray(rbar), np.asarray(ref.rbar), atol=1e-6)
+    assert int(remaining) == int(jnp.sum(
+        (ref.ce_mask & ref.claim)[s_hat].astype(jnp.int32)))

@@ -162,5 +162,5 @@ def sharded_pass(mesh: Mesh, dim_d: int, params: DepthParams,
         body, mesh=mesh,
         in_specs=(vs, svc, vu, vu, vu, vu, sv, sv, sv, svc, rep),
         out_specs=(vu, vu, sv, sv, sv, svc, rep),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)

@@ -80,8 +80,23 @@ def _sweep_kernel(s_hat_ref, dvec_ref, epi_ref,
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
     S_tot = S + s_pad
-    W = Ux + 128  # aligned window width for the rotate-based gather
     lane_u = jax.lax.broadcasted_iota(jnp.int32, (1, Ux), 1)
+
+    def load_shifted_row(c, s, start):
+        """epi[c, s, start : start + Ux] via 256-lane window rotates.
+
+        Mosaic's dynamic lane rotate mis-rotates 3-vreg (384-lane)
+        windows (verified on v5e), so each 128-lane output chunk rotates
+        its own 2-vreg window — always width 256, rotate in [0, 127].
+        """
+        rem = jax.lax.rem(start, 128)
+        base = start - rem
+        parts = []
+        for j in range(Ux // 128):
+            win = epi_ref[0, c, pl.ds(s, 1),
+                          pl.ds(pl.multiple_of(base + j * 128, 128), 256)]
+            parts.append(pltpu.roll(win, -rem, axis=1)[:, :128])
+        return jnp.concatenate(parts, axis=1)
 
     def sweep_one_d(d, carry):
         best_score, best_depth, score_sum, rbar, kbest = carry
@@ -97,8 +112,6 @@ def _sweep_kernel(s_hat_ref, dvec_ref, epi_ref,
             t = shift - i0
             i0i = i0.astype(jnp.int32)
             start = i0i + PAD
-            rem = jax.lax.rem(start, 128)
-            base = pl.multiple_of(start - rem, 128)
             # validity interval: floor(u+shift) >= 0 and
             # ceil(u+shift) <= U-1  (ceil = i0i + (t > 0))
             ceil_off = i0i + (t > 0).astype(jnp.int32)
@@ -108,9 +121,8 @@ def _sweep_kernel(s_hat_ref, dvec_ref, epi_ref,
             ok_row = jnp.logical_and(ok_row, s < S)
             valid_ref[pl.ds(s, 1), :] = ok_row.astype(DTYPE)
             for c in range(C):
-                win = epi_ref[0, c, pl.ds(s, 1), pl.ds(base, W)]  # (1, W)
-                row_a = pltpu.roll(win, -rem, axis=1)[:, :Ux]
-                row_b = pltpu.roll(win, -(rem + 1), axis=1)[:, :Ux]
+                row_a = load_shifted_row(c, s, start)
+                row_b = load_shifted_row(c, s, start + 1)
                 blend = (DTYPE(1.0) - t) * row_a + t * row_b
                 shear_ref[c, pl.ds(s, 1), :] = jnp.where(
                     t == 0, row_a, blend)

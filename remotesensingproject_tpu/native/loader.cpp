@@ -121,16 +121,10 @@ bool lzw_decode(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
       return false;
     }
     next_code++;
-    if (next_code == 511 - 1 + 2) bits = 10;        // 510? early change
-    if (next_code == 1022 - 1 + 2) bits = 11;
-    if (next_code == 2046 - 1 + 2) bits = 12;
-    if (next_code >= 4095) {  // must see clear next; be lenient
-      reset();
-      next_code = 258;
-      bits = 9;
-      prev_code = -1;
-      continue;
-    }
+    // TIFF "early change": width grows at 511/1023/2047 (TIFF6 LZW).
+    if (next_code == 511) bits = 10;
+    else if (next_code == 1023) bits = 11;
+    else if (next_code == 2047) bits = 12;
     prev_code = code;
   }
   return true;

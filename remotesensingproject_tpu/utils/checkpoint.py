@@ -1,0 +1,91 @@
+"""Checkpoint / resume for the fine-to-coarse pipeline.
+
+The reference has no checkpointing (SURVEY §5) — a crash loses the run.
+Here every pyramid level's full state (depth, confidences, masks, claims,
+per-pixel bounds) can be saved after ``Depth2DComputer.run`` and restored
+to resume mid-pyramid.  npz is the storage format (the analog of the
+reference's YML matrix dumps, src/rslf_io.cpp:98-156).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def save_level(path_dir: str, level: int, computer) -> str:
+    """Persist one pyramid level's results (after run())."""
+    os.makedirs(path_dir, exist_ok=True)
+    st = computer.state
+    path = os.path.join(path_dir, f"level_{level:02d}.npz")
+    np.savez_compressed(
+        path,
+        ce=np.asarray(st.ce),
+        ce_mask=np.asarray(st.ce_mask),
+        disp_conf=np.asarray(st.disp_conf),
+        line_conf=np.asarray(st.line_conf),
+        best_depth=np.asarray(st.best_depth),
+        rbar=np.asarray(st.rbar),
+        claim=np.asarray(st.claim),
+        dmin=np.asarray(computer.dmin_s_v_u),
+        dmax=np.asarray(computer.dmax_s_v_u),
+        accept_all=np.asarray(computer.accept_all),
+    )
+    return path
+
+
+def load_level(path_dir: str, level: int, computer) -> bool:
+    """Restore a previously saved level into `computer`.
+
+    Returns False when no checkpoint exists.
+    """
+    import jax.numpy as jnp
+
+    from ..models.depth2d import Depth2DState
+
+    path = os.path.join(path_dir, f"level_{level:02d}.npz")
+    if not os.path.exists(path):
+        return False
+    z = np.load(path)
+    computer.state = Depth2DState(
+        ce=jnp.asarray(z["ce"]),
+        ce_mask=jnp.asarray(z["ce_mask"]),
+        disp_conf=jnp.asarray(z["disp_conf"]),
+        line_conf=jnp.asarray(z["line_conf"]),
+        best_depth=jnp.asarray(z["best_depth"]),
+        rbar=jnp.asarray(z["rbar"]),
+        claim=jnp.asarray(z["claim"]),
+    )
+    computer.dmin_s_v_u = jnp.asarray(z["dmin"])
+    computer.dmax_s_v_u = jnp.asarray(z["dmax"])
+    computer.accept_all = bool(z["accept_all"])
+    return True
+
+
+def run_with_checkpoints(ftc, ckpt_dir: Optional[str]):
+    """FineToCoarse.run with per-level save/resume.
+
+    Levels found in ``ckpt_dir`` are loaded instead of recomputed; each
+    freshly computed level is saved before moving on.
+    """
+    if not ckpt_dir:
+        ftc.run()
+        return
+    import jax
+
+    from ..ops.pyramid import bounds_from_parent
+
+    bounds_fn = jax.jit(bounds_from_parent)
+    for p, computer in enumerate(ftc.computers):
+        if not load_level(ckpt_dir, p, computer):
+            computer.run()
+            save_level(ckpt_dir, p, computer)
+        if p < len(ftc.computers) - 1:
+            nxt = ftc.computers[p + 1]
+            dmin_new, dmax_new = bounds_fn(
+                computer.get_depths_s_v_u(),
+                computer.get_valid_depths_mask_s_v_u(),
+                nxt.dmin_s_v_u, nxt.dmax_s_v_u)
+            nxt.set_bounds(dmin_new, dmax_new)

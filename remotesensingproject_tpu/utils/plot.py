@@ -16,24 +16,10 @@ import numpy as np
 # ---------------------------------------------------------------------------
 
 def _jet_lut() -> np.ndarray:
-    """OpenCV COLORMAP_JET 256-entry BGR->RGB lookup table.
-
-    OpenCV builds jet by linearly interpolating the GNU-Octave 64-knot jet
-    ramp to 256 entries; the knots themselves follow the classic piecewise
-    ramp below.  Cross-checked against cv2.applyColorMap in tests.
-    """
-    # 64-knot octave jet
-    n = 64
-    k = np.arange(1, n + 1)
-    r = np.interp(k, [1, 24, 40, 56, 64], [0, 0, 1, 1, 0.5])
-    g = np.interp(k, [1, 8, 24, 40, 56, 64], [0, 0, 1, 1, 0, 0])
-    b = np.interp(k, [1, 8, 24, 40, 64], [0.5625, 1, 1, 0, 0])
-    knots = np.stack([r, g, b], axis=1)  # RGB in [0,1]
-    # linear interpolation to 256 entries
-    x = np.linspace(0, 1, 256)
-    xk = np.linspace(0, 1, n)
-    lut = np.stack([np.interp(x, xk, knots[:, c]) for c in range(3)], axis=1)
-    return np.clip(np.round(lut * 255), 0, 255).astype(np.uint8)
+    """The jet colormap as a 256-entry RGB table (matches OpenCV's
+    COLORMAP_JET rendering; verified against cv2 in tests)."""
+    from ._jet_lut import JET_LUT
+    return np.asarray(JET_LUT, np.uint8)
 
 
 _LUTS = {"jet": _jet_lut()}

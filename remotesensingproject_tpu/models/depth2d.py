@@ -91,10 +91,11 @@ def _line_confidence(ce_s_v_u, best_depth_v_u, k_best_v_s_u, mask_v_u,
     return jnp.where(mask_v_u, num / den, 0.0)
 
 
-def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, state: Depth2DState,
+def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
+             state: Depth2DState,
              s_hat, *, dim_d: int, params: DepthParams,
              d_bounds: Tuple[float, float], use_pallas: bool,
-             uniform_bounds: bool) -> Depth2DState:
+             uniform_bounds: bool, pad_static=None) -> Depth2DState:
     """One center-outward pass (sweep + median + propagation), jittable."""
     V, S, U, C = epis.shape
     s_hat = jnp.asarray(s_hat, jnp.int32)
@@ -121,8 +122,13 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, state: Depth2DState,
     with_k = params.score_version == "line"
     if use_pallas and uniform_bounds:
         from ..ops.sweep_pallas import sweep_pile_pallas
+        row_flags = jnp.any(active, axis=1)
+        padded = None
+        if pad_static is not None:
+            padded = (epis_padded, pad_static[0], pad_static[1])
         res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
-                                s_hat, params, with_k_best=with_k)
+                                s_hat, params, with_k_best=with_k,
+                                padded=padded, row_active=row_flags)
     else:
         res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params,
                          with_k_best=with_k)
@@ -246,19 +252,31 @@ class Depth2DComputer:
             claim=ce_mask.copy(),  # distinct buffer (donation-safe)
         )
 
+        use_pallas_path = self.use_pallas and not self._bounds_edited
+        if use_pallas_path:
+            from ..ops.sweep_pallas import prepare_padded_epis
+            epis_padded, pad_f, s_pad = prepare_padded_epis(
+                self.epis, self.dmin, self.dmax,
+                self.params.slope_factor)
+            pad_static = (int(pad_f), int(s_pad))
+        else:
+            epis_padded = jnp.zeros((1,), DTYPE)
+            pad_static = None
         fwd = jax.jit(
             functools.partial(
                 _pass_fn, dim_d=self.dim_d, params=self.params,
                 d_bounds=(self.dmin, self.dmax),
                 use_pallas=self.use_pallas,
-                uniform_bounds=not self._bounds_edited),
-            donate_argnums=(4,))
+                uniform_bounds=not self._bounds_edited,
+                pad_static=pad_static),
+            donate_argnums=(5,))
         remaining_fn = jax.jit(lambda st: jnp.sum(
             (st.ce_mask & st.claim).astype(jnp.int32)))
 
         for i, s_hat in enumerate(center_outward_schedule(S)):
             state = fwd(self.epis, frames, self.dmin_s_v_u,
-                        self.dmax_s_v_u, state, jnp.int32(s_hat))
+                        self.dmax_s_v_u, epis_padded, state,
+                        jnp.int32(s_hat))
             if self.verbose:
                 print(f"pass {i + 1}: s_hat={s_hat}")
             if self.early_stop and int(remaining_fn(state)) == 0:

@@ -60,7 +60,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sweep_kernel(s_hat_ref, dvec_ref, epi_ref,
+def _sweep_kernel(flags_ref, s_hat_ref, dvec_ref, epi_ref,
                   best_score_ref, score_sum_ref, best_depth_ref,
                   rbar_ref, kbest_ref, shear_ref, valid_ref, *,
                   S: int, U: int, Ux: int, C: int, PAD: int, dim_d: int,
@@ -77,6 +77,29 @@ def _sweep_kernel(s_hat_ref, dvec_ref, epi_ref,
     interpolation rule, rslf_interpolation.hpp:182, specialised to a
     per-(s,d) scalar shift), evaluated as lane-iota compares.
     """
+    # Row skipping: rows whose active-pixel flag is 0 (all pixels
+    # claimed or unconfident) skip the whole sweep — the merge in the
+    # driver never reads their outputs.  This is what makes the later
+    # center-outward passes nearly free, the dense analog of the
+    # reference's findNonZero sparsity (core.hpp:515-516).
+    run_row = flags_ref[pl.program_id(0)] != 0
+
+    @pl.when(run_row)
+    def _run():
+        _sweep_row_body(s_hat_ref, dvec_ref, epi_ref, best_score_ref,
+                        score_sum_ref, best_depth_ref, rbar_ref,
+                        kbest_ref, shear_ref, valid_ref, S=S, U=U, Ux=Ux,
+                        C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
+                        slope_factor=slope_factor, h=h, iters=iters,
+                        with_k_best=with_k_best)
+
+
+def _sweep_row_body(s_hat_ref, dvec_ref, epi_ref,
+                    best_score_ref, score_sum_ref, best_depth_ref,
+                    rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                    S: int, U: int, Ux: int, C: int, PAD: int,
+                    dim_d: int, s_pad: int, slope_factor: float,
+                    h: float, iters: int, with_k_best: bool):
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
     S_tot = S + s_pad
@@ -221,7 +244,8 @@ def prepare_padded_epis(epis_v_s_u_c, dmin: float, dmax: float,
 def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
                       s_hat, params: DepthParams,
                       with_k_best: bool = False,
-                      padded=None, interpret: bool = False) -> SweepResult:
+                      padded=None, interpret: bool = False,
+                      row_active=None) -> SweepResult:
     """Dense uniform-bounds sweep over all EPIs via the Pallas kernel.
 
     Args:
@@ -231,6 +255,9 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
       s_hat: traced int32.
       padded: optional precomputed (padded_epis, PAD, s_pad) from
         :func:`prepare_padded_epis` to avoid repadding every pass.
+      row_active: optional ``[V]`` bool/int; rows with 0 skip the sweep
+        entirely (their outputs are garbage — callers must merge through
+        an active-pixel mask, which the drivers do).
     """
     if params.interpolation != "linear":
         raise NotImplementedError(
@@ -263,27 +290,32 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         jax.ShapeDtypeStruct((V, kb_S, kb_U), DTYPE),  # kbest
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, Ux), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Ux), lambda i, f: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Ux), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Ux), lambda i, f: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Ux), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, Ux), lambda i, f: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, Ux), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, C, Ux), lambda i, f: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kb_S, kb_U), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, kb_S, kb_U), lambda i, f: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
 
+    if row_active is None:
+        flags = jnp.ones((V,), jnp.int32)
+    else:
+        flags = row_active.astype(jnp.int32)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,
         grid=(V,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, f: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, dim_d), lambda i: (0, 0),
+            pl.BlockSpec((1, dim_d), lambda i, f: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, S_tot, U_tot), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, f: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -296,7 +328,7 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(s_hat_arr, jnp.asarray(dvec), epi_pad)
+    )(flags, s_hat_arr, jnp.asarray(dvec), epi_pad)
 
     if with_k_best:
         k_best = kbest[:, :S, :U]

@@ -48,8 +48,8 @@ def test_sharded_pass_matches_single_device():
         _pass_fn, dim_d=dim_d, params=params, d_bounds=(dmin, dmax),
         use_pallas=False, uniform_bounds=True))
     ref = fwd(epis, frames, jnp.full((S, V, U), dmin, jnp.float32),
-              jnp.full((S, V, U), dmax, jnp.float32), state,
-              jnp.int32(s_hat))
+              jnp.full((S, V, U), dmax, jnp.float32),
+              jnp.zeros((1,), jnp.float32), state, jnp.int32(s_hat))
 
     # --- sharded pass on the 8-device mesh
     mesh = make_mesh()

@@ -14,6 +14,7 @@ include/rslf.hpp) re-designed for TPU:
 This module is the umbrella API (the analog of ``#include <rslf.hpp>``).
 """
 
+from . import utils  # noqa: F401
 from .config import DEFAULT_PARAMS, DEFAULT_PYRAMID, DepthParams, PyramidParams
 from .types import DTYPE, SQRT3, norm, normsq
 from .ops.normalize import normalize_volume

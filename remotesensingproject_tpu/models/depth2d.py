@@ -190,6 +190,23 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     return st
 
 
+def _passes_chunk_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
+                     state: Depth2DState, s_hats, **kw):
+    """Run several center-outward passes in one jitted call.
+
+    Batching passes into a lax.scan amortizes dispatch / host-sync
+    round-trips (significant over a remote-device tunnel); the early-stop
+    count is returned so the host only syncs once per chunk.
+    """
+    def step(st, s_hat):
+        return _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u,
+                        epis_padded, st, s_hat, **kw), None
+
+    state, _ = jax.lax.scan(step, state, s_hats)
+    remaining = jnp.sum((state.ce_mask & state.claim).astype(jnp.int32))
+    return state, remaining
+
+
 class Depth2DComputer:
     """Driver mirroring Depth2DComputer's ctor/run/getters."""
 
@@ -198,7 +215,8 @@ class Depth2DComputer:
                  params: DepthParams = DEFAULT_PARAMS,
                  verbose: bool = False,
                  use_pallas: Optional[bool] = None,
-                 early_stop: bool = True):
+                 early_stop: bool = True,
+                 pass_chunk: int = 8):
         epis = jnp.asarray(epis_v_s_u_c)
         if epis.ndim == 3:
             epis = epis[..., None]
@@ -210,6 +228,7 @@ class Depth2DComputer:
         self.params = params
         self.verbose = verbose
         self.early_stop = early_stop
+        self.pass_chunk = max(1, pass_chunk)
         self.accept_all = False
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -264,24 +283,30 @@ class Depth2DComputer:
             pad_static = None
         fwd = jax.jit(
             functools.partial(
-                _pass_fn, dim_d=self.dim_d, params=self.params,
+                _passes_chunk_fn, dim_d=self.dim_d, params=self.params,
                 d_bounds=(self.dmin, self.dmax),
                 use_pallas=self.use_pallas,
                 uniform_bounds=not self._bounds_edited,
                 pad_static=pad_static),
             donate_argnums=(5,))
-        remaining_fn = jax.jit(lambda st: jnp.sum(
-            (st.ce_mask & st.claim).astype(jnp.int32)))
 
-        for i, s_hat in enumerate(center_outward_schedule(S)):
-            state = fwd(self.epis, frames, self.dmin_s_v_u,
-                        self.dmax_s_v_u, epis_padded, state,
-                        jnp.int32(s_hat))
+        schedule = center_outward_schedule(S)
+        chunk = self.pass_chunk
+        done = 0
+        while done < len(schedule):
+            # variable-length tail chunk (repeating a pass to pad is NOT
+            # a no-op: the selective median sees propagation-painted
+            # values — costs at most one extra compilation instead)
+            part = schedule[done:done + chunk]
+            done += len(part)
+            state, remaining = fwd(
+                self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
+                epis_padded, state, jnp.asarray(part, jnp.int32))
             if self.verbose:
-                print(f"pass {i + 1}: s_hat={s_hat}")
-            if self.early_stop and int(remaining_fn(state)) == 0:
+                print(f"passes {done}/{len(schedule)}")
+            if self.early_stop and int(remaining) == 0:
                 if self.verbose:
-                    print(f"early stop after pass {i + 1}")
+                    print(f"early stop after {done} passes")
                 break
         self.state = jax.block_until_ready(state)
         return self.state

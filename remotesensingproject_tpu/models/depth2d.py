@@ -120,7 +120,7 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         state.claim, active, s_hat, 0)
 
     with_k = params.score_version == "line"
-    if use_pallas and uniform_bounds:
+    if use_pallas and uniform_bounds and params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
         row_flags = jnp.any(active, axis=1)
         padded = None
@@ -333,3 +333,35 @@ class Depth2DComputer:
 
     def get_epis(self):
         return self.epis
+
+    def get_coloured_epi(self, v: int = -1, colormap: str = "jet"):
+        """Slope-coloured EPI at row v
+        (Depth2DComputer::get_coloured_epi,
+        rslf_depth_computation.hpp:807-860)."""
+        from ..utils.plot import coloured_epi_2d
+        if v < 0:
+            v = self.epis.shape[0] // 2
+        return coloured_epi_2d(self.state.best_depth,
+                               self._criterion_mask(), v, colormap)
+
+    def get_disparity_map(self, s: int = -1, colormap: str = "jet"):
+        """Colormapped disparity map at frame s
+        (rslf_depth_computation.hpp:862-891)."""
+        from ..utils.plot import disparity_map_image
+        S = self.epis.shape[1]
+        if s < 0:
+            s = S // 2
+        return disparity_map_image(
+            jnp.asarray(self.state.best_depth)[s],
+            jnp.asarray(self._criterion_mask())[s], colormap)
+
+    def _criterion_mask(self):
+        """The per score_version painting criterion (the #ifdef chains at
+        rslf_depth_computation.hpp:836-846,865-880: edge uses the stored
+        boolean mask; disp/line threshold their confidences)."""
+        p = self.params
+        if p.score_version == "disp":
+            return self.state.disp_conf > p.disp_score_threshold
+        if p.score_version == "line":
+            return self.state.line_conf > p.line_score_threshold
+        return self.state.ce_mask

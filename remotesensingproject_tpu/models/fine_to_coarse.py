@@ -112,3 +112,57 @@ class FineToCoarse:
         return coloured_depth_maps(
             fused, validity, self.computers[0].get_epis(),
             self.params, colormap, saturate)
+
+    def get_coloured_depth_maps_and_imgs(self, colormap: str = "jet",
+                                         saturate: bool = True):
+        """Depth maps juxtaposed with the input frames
+        (rslf_fine_to_coarse.hpp:380-429)."""
+        import numpy as np
+
+        from ..utils.plot import ImageConverterUint8, side_by_side
+        maps = self.get_coloured_depth_maps(colormap, saturate)
+        epis = np.asarray(self.computers[0].get_epis())
+        conv = ImageConverterUint8().fit(epis[:, 0], saturate=False)
+        out = []
+        for s in range(maps.shape[0]):
+            frame = conv.copy_and_scale(epis[:, s])
+            if frame.shape[-1] == 1:
+                frame = frame[..., 0]
+            out.append(side_by_side(frame, maps[s]))
+        return out
+
+    def get_coloured_epi_pyr(self, v: int = -1, colormap: str = "jet",
+                             saturate: bool = True):
+        """Per-level slope-coloured EPI at (scaled) row v
+        (rslf_fine_to_coarse.hpp:431-487)."""
+        import numpy as np
+
+        from ..utils.plot import depth_pyramid_images
+        V0 = self.computers[0].epis.shape[0]
+        if v < 0:
+            v = int(round(V0 / 2.0))
+        slices, masks = [], []
+        for c in self.computers:
+            Vp = c.epis.shape[0]
+            vs = int(round(v * Vp / V0))
+            d = np.asarray(c.get_depths_s_v_u())[:, vs, :]
+            m = np.asarray(c.get_valid_depths_mask_s_v_u())[:, vs, :]
+            slices.append(np.where(m, d, 0.0))
+            masks.append(m)
+        return depth_pyramid_images(slices, masks, saturate, colormap)
+
+    def get_coloured_depth_pyr(self, s: int = -1, colormap: str = "jet",
+                               saturate: bool = True):
+        """Per-level colormapped disparity maps at frame s
+        (rslf_fine_to_coarse.hpp:490-518)."""
+        import numpy as np
+
+        from ..utils.plot import depth_pyramid_images
+        S = self.computers[0].epis.shape[1]
+        if s < 0:
+            s = int(round(S / 2.0))
+        slices = [np.asarray(c.get_depths_s_v_u())[s]
+                  for c in self.computers]
+        masks = [np.asarray(c.get_valid_depths_mask_s_v_u())[s]
+                 for c in self.computers]
+        return depth_pyramid_images(slices, masks, saturate, colormap)

@@ -49,7 +49,8 @@ def _pile_forward(epis, dmin_v_u, dmax_v_u, s_hat, dim_d,
         jnp.transpose(epis, (1, 0, 2, 3)), s_hat, 0, keepdims=False)
     ce, mask = edge_confidence_frame(frame, params)
 
-    if use_pallas and d_bounds is not None:
+    if use_pallas and d_bounds is not None and \
+            params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
         res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
                                 s_hat, params)

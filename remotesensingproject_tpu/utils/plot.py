@@ -168,6 +168,47 @@ def coloured_depth_maps(fused_s_v_u, validity_s_v_u, epis_v_s_u_c, params,
     return np.stack(maps)
 
 
+def coloured_epi_2d(depths_s_v_u, valid_s_v_u, v: int,
+                    colormap: str = "jet"):
+    """Depth2DComputer::get_coloured_epi
+    (rslf_depth_computation.hpp:807-860): the (s, u) depth slice at row v,
+    colormapped, painted only where the validity criterion holds."""
+    depths = np.asarray(depths_s_v_u)[:, v, :]       # [S, U]
+    valid = np.asarray(valid_s_v_u)[:, v, :]
+    rgb = apply_colormap(copy_and_scale_uchar(depths), colormap)
+    rgb[~valid] = 0
+    return rgb
+
+
+def depth_pyramid_images(depth_slices, valid_slices, saturate: bool = True,
+                         colormap: str = "jet"):
+    """Shared renderer for FineToCoarse::get_coloured_epi_pyr /
+    get_coloured_depth_pyr (rslf_fine_to_coarse.hpp:431-518): one
+    converter fitted on the finest level, per-level colormapped slices
+    with invalid pixels black."""
+    conv = ImageConverterUint8()
+    out = []
+    for p, (d, m) in enumerate(zip(depth_slices, valid_slices)):
+        d = np.asarray(d)
+        m = np.asarray(m)
+        if p == 0:
+            conv.fit(d, saturate)
+        rgb = apply_colormap(conv.copy_and_scale(d), colormap)
+        rgb[~m] = 0
+        out.append(rgb)
+    return out
+
+
+def side_by_side(img_a: np.ndarray, img_b: np.ndarray) -> np.ndarray:
+    """Concatenate frame + map like get_coloured_depth_maps_and_imgs
+    (rslf_fine_to_coarse.hpp:380-429): rows when wide, cols when tall."""
+    if img_a.ndim == 2:
+        img_a = np.stack([img_a] * 3, -1)
+    if img_a.shape[1] > img_a.shape[0]:
+        return np.concatenate([img_a, img_b], axis=0)
+    return np.concatenate([img_a, img_b], axis=1)
+
+
 def draw_red_lines(img, fill_row_red: int = -1, max_height: int = -1,
                    fill_col_red: int = -1, max_width: int = -1):
     """Red-line overlay + crop for EPI figures (src/rslf_plot.cpp:110-199)."""

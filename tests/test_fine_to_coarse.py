@@ -61,3 +61,23 @@ def test_fine_to_coarse_coloured_maps():
     maps = ftc.get_coloured_depth_maps()
     assert maps.shape == (6, 16, 24, 3)
     assert maps.dtype == np.uint8
+
+
+def test_render_variants():
+    vol, _ = oracle.make_synthetic_lf(S=6, V=16, U=24, C=1, n_objects=2,
+                                      seed=5)
+    ftc = FineToCoarse(jnp.asarray(vol), -1.0, 1.5, 7,
+                       pyramid=PyramidParams(min_spatial_dim=10),
+                       use_pallas=False)
+    ftc.run()
+    pair = ftc.get_coloured_depth_maps_and_imgs()
+    assert len(pair) == 6 and pair[0].dtype == np.uint8
+    epi_pyr = ftc.get_coloured_epi_pyr()
+    assert len(epi_pyr) == len(ftc.computers)
+    assert epi_pyr[0].shape == (6, 24, 3)
+    depth_pyr = ftc.get_coloured_depth_pyr()
+    assert depth_pyr[0].shape == (16, 24, 3)
+
+    c0 = ftc.computers[0]
+    assert c0.get_coloured_epi().shape == (6, 24, 3)
+    assert c0.get_disparity_map().shape == (16, 24, 3)

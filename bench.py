@@ -30,28 +30,36 @@ def synthetic_sequence(S, V, U, seed=0):
         a = int(rng.integers(0, U - 10))
         b = a + int(rng.integers(8, U // 4))
         intervals.append((a, b))
-    tex = rng.uniform(0.1, 1.0, (n_layers, V, 12 * U)).astype(np.float32)
+    # small base texture + per-row brightness modulation (the bench host's
+    # CPU is far too slow for a full [L, V, 12U] sample)
+    base = rng.random((n_layers, 12 * U), dtype=np.float32) * 0.7 + 0.1
     for _ in range(2):
-        tex = 0.5 * tex + 0.25 * np.roll(tex, 1, 2) + 0.25 * np.roll(
-            tex, -1, 2)
+        base = 0.5 * base + 0.25 * np.roll(base, 1, 1) + 0.25 * np.roll(
+            base, -1, 1)
+    rowmod = rng.random((V,), dtype=np.float32) * 0.15
     u_idx = np.arange(U)
-    vol = np.zeros((V, S, U, 1), np.float32)
-    for s in range(S):
-        filled = np.zeros(U, bool)
-        for li in reversed(range(n_layers)):
-            shift = (s_hat - s) * disps[li]
-            u0 = u_idx - shift
-            a, b = intervals[li]
-            cover = (u0 >= a) & (u0 <= b) & ~filled
-            if not cover.any():
-                continue
-            src = np.clip(u0 + 6 * U, 0, tex.shape[2] - 2)
-            f = np.floor(src).astype(int)
-            t = (src - f).astype(np.float32)[None, :]
-            vals = (1 - t) * tex[li][:, f] + t * tex[li][:, f + 1]
-            vol[:, s, cover, 0] = vals[:, cover]
-            filled |= cover
-    return vol
+    # layer-local coordinates for all (layer, s, u) at once
+    shifts = (s_hat - np.arange(S))[None, :, None] * \
+        disps[:, None, None]                       # [L, S, 1]
+    u0 = u_idx[None, None, :] - shifts             # [L, S, U]
+    a = np.array([iv[0] for iv in intervals])[:, None, None]
+    b = np.array([iv[1] for iv in intervals])[:, None, None]
+    covers = (u0 >= a) & (u0 <= b)                 # [L, S, U]
+    # nearest layer wins: the highest covering layer index
+    owner = np.where(covers.any(0),
+                     (n_layers - 1) - np.argmax(covers[::-1], axis=0),
+                     0)                            # [S, U]
+    src = np.clip(np.take_along_axis(u0, owner[None], 0)[0] + 6 * U,
+                  0, base.shape[1] - 2)            # [S, U]
+    f = np.floor(src).astype(int)
+    t = (src - f).astype(np.float32)               # [S, U]
+    val0 = (1 - t) * base[owner, f] + t * base[owner, f + 1]  # [S, U]
+    # broadcast to the full volume on-device (this host's memory
+    # bandwidth is too weak to build 200 MB volumes in numpy)
+    import jax.numpy as jnp
+
+    return (jnp.asarray(val0)[None, :, :, None]
+            + jnp.asarray(rowmod)[:, None, None, None])
 
 
 def main():
@@ -76,11 +84,16 @@ def main():
     use_pallas = backend == "tpu"
     print(f"# backend={backend} use_pallas={use_pallas}", file=sys.stderr)
 
+    import contextlib
+
     t0 = time.time()
-    ftc = FineToCoarse(vol, dmin, dmax, D, use_pallas=use_pallas)
-    ftc.run()
-    fused, validity = ftc.get_results()
-    fused.block_until_ready()
+    with contextlib.redirect_stdout(sys.stderr):
+        ftc = FineToCoarse(vol, dmin, dmax, D, use_pallas=use_pallas,
+                           verbose=True)
+        ftc.run()
+        fused, validity = ftc.get_results()
+        fused = np.asarray(fused)  # host sync (block_until_ready is
+        # unreliable over the remote-device tunnel)
     elapsed = time.time() - t0
 
     mpix = S * V * U / 1e6

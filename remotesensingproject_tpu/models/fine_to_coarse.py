@@ -37,7 +37,8 @@ class FineToCoarse:
                  pyramid: PyramidParams = DEFAULT_PYRAMID,
                  use_pallas: Optional[bool] = None,
                  early_stop: bool = True,
-                 verbose: bool = False):
+                 verbose: bool = False,
+                 pass_chunk: int = 8):
         epis = jnp.asarray(epis_v_s_u_c)
         if epis.ndim == 3:
             epis = epis[..., None]
@@ -70,7 +71,7 @@ class FineToCoarse:
                 level.astype(jnp.uint8) if self.is_uint8 else level,
                 dmin, dmax, dim_d, epi_scale_factor, lvl_params,
                 verbose=verbose, use_pallas=use_pallas,
-                early_stop=early_stop))
+                early_stop=early_stop, pass_chunk=pass_chunk))
             self.level_params.append(lvl_params)
             level = ds_fn(level)
             if self.is_uint8:
@@ -80,12 +81,26 @@ class FineToCoarse:
         if pyramid.accept_all_last_scale:
             self.computers[-1].set_accept_all(True)
 
-    def run(self):
+    def run(self, ckpt_dir: Optional[str] = None):
+        """Run all levels fine-to-coarse, deriving per-pixel bounds.
+
+        Args:
+          ckpt_dir: when given, each completed level is checkpointed and
+            previously saved levels are restored instead of recomputed
+            (utils.checkpoint).
+        """
+        if ckpt_dir:
+            from ..utils.checkpoint import run_with_checkpoints
+            run_with_checkpoints(self, ckpt_dir)
+            return
+        import time as _time
+
         bounds_fn = jax.jit(bounds_from_parent)
         for p, computer in enumerate(self.computers):
-            if self.verbose:
-                print(f"running level {p}")
+            t0 = _time.time()
             computer.run()
+            if self.verbose:
+                print(f"level {p} done in {_time.time() - t0:.1f}s")
             if p < len(self.computers) - 1:
                 nxt = self.computers[p + 1]
                 dmin_new, dmax_new = bounds_fn(

@@ -1,0 +1,291 @@
+"""Pallas TPU kernel for the slope sweep with PER-PIXEL disparity bounds.
+
+The coarse pyramid levels refine each pixel's [dmin, dmax] from its
+confident parents (rslf_fine_to_coarse.hpp:202-294), so the candidate
+disparity — and hence the sheared sample index — varies per pixel and the
+uniform-shift kernel (sweep_pallas.py) does not apply.  TPUs have no
+per-lane vector gather, so this kernel works on 128-lane u-tiles and
+resolves the gather with a value-adaptive scan: for each (s, d) the
+per-lane integer sample offsets span a small range [kmin, kmax] (bounds
+are locally similar after refinement); scanning k over that range,
+broadcasting the scalar EPI sample at k and selecting it into the lanes
+whose floor-index equals k, costs O(spread) vector ops instead of a
+gather.  Where bounds are still the unrefined ctor constants the spread
+can be large — the scan bound is computed from the data, so only such
+tiles pay.
+
+Numerics: this kernel computes the sample position I = (s_hat - s) *
+delta_u * slope + u PER LANE in float32, matching the reference's
+per-pixel rounding exactly (core.hpp:534-552), unlike the uniform kernel
+which shares a scalar shift per (s, d).  Everything else (mean shift,
+scoring, argmax) mirrors sweep_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DepthParams
+from ..types import DTYPE, chan_scale
+from .sweep import SweepResult
+from .sweep_pallas import _round_up, prepare_padded_epis
+
+
+def _sweep_pp_kernel(flags_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
+                     best_score_ref, score_sum_ref, best_depth_ref,
+                     rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                     S: int, U: int, C: int, PAD: int, dim_d: int,
+                     s_pad: int, slope_factor: float, h: float,
+                     iters: int, with_k_best: bool, U_tot: int):
+    """One (v, u-tile) cell: per-pixel-bounds sweep on 128 lanes."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+    run_tile = flags_ref[i * n_tiles + j] != 0
+
+    @pl.when(run_tile)
+    def _run():
+        _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
+                       best_score_ref, score_sum_ref, best_depth_ref,
+                       rbar_ref, kbest_ref, shear_ref, valid_ref,
+                       S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
+                       slope_factor=slope_factor, h=h, iters=iters,
+                       with_k_best=with_k_best, U_tot=U_tot)
+
+
+def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
+                   best_score_ref, score_sum_ref, best_depth_ref,
+                   rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                   S: int, U: int, C: int, PAD: int, dim_d: int,
+                   s_pad: int, slope_factor: float, h: float,
+                   iters: int, with_k_best: bool, U_tot: int):
+    TU = 128
+    s_hat = s_hat_ref[0, 0]
+    a = DTYPE(chan_scale(C) / (h * h))
+    S_tot = S + s_pad
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TU), 1)
+    upos_i = j * TU + lane                      # global u (int)
+    upos = upos_i.astype(DTYPE)
+    dmin_u = dmin_ref[0:1, :]                   # (1, TU)
+    dmax_u = dmax_ref[0:1, :]
+    drange = dmax_u - dmin_u
+
+    def sweep_one_d(d, carry):
+        best_score, best_depth, score_sum, rbar, kbest = carry
+        # per-lane candidate with the reference's exact f32 op order
+        # (core.hpp:548)
+        delta_u = dmin_u + (d.astype(DTYPE) * drange) / DTYPE(dim_d - 1)
+
+        def gather_s(s, _):
+            ds = (s_hat - s).astype(DTYPE)
+            # I = (s_hat - s) * d * slope + u, per lane (core.hpp:550-552)
+            shift = ds * delta_u * DTYPE(slope_factor)
+            I = shift + upos
+            fi = jnp.floor(I)
+            t = I - fi
+            fi_i = fi.astype(jnp.int32)
+            ceil_i = fi_i + (t > 0).astype(jnp.int32)
+            ok = (fi_i >= 0) & (ceil_i <= U - 1)
+            ok = jnp.logical_and(ok, s < S)
+            valid_ref[pl.ds(s, 1), :] = ok.astype(DTYPE)
+
+            # absolute (padded) positions, clamped so invalid lanes do
+            # not blow up the scan range: invalid lanes collapse onto the
+            # minimum valid position (or 0 when none are valid)
+            pos = jnp.clip(fi_i + PAD, 0, U_tot - 2)
+            repl = jnp.minimum(jnp.min(jnp.where(ok, pos, U_tot)),
+                               U_tot - 2)
+            pos = jnp.where(ok, pos, repl)
+            kmin = jnp.min(pos)
+            kmax = jnp.max(pos)
+
+            for c in range(C):
+                def kbody(k, vab):
+                    va, vb = vab
+                    sample = epi_ref[0, c, s, k]   # scalar broadcast
+                    va = va + jnp.where(pos == k, sample, 0.0)
+                    vb = vb + jnp.where(pos + 1 == k, sample, 0.0)
+                    return va, vb
+
+                va0 = jnp.zeros((1, TU), DTYPE)
+                va, vb = jax.lax.fori_loop(kmin, kmax + 2, kbody,
+                                           (va0, va0))
+                val = (DTYPE(1.0) - t) * va + t * vb
+                shear_ref[c, pl.ds(s, 1), :] = val
+            return 0
+
+        jax.lax.fori_loop(0, S_tot, gather_s, 0)
+
+        validf = valid_ref[:, :]                       # [S_tot, TU]
+        r0 = shear_ref[:, :, :] * validf
+        rpos = jnp.maximum(r0, 0.0)
+        card = jnp.sum(validf, axis=0, keepdims=True)
+
+        rbar0 = jnp.concatenate(
+            [shear_ref[c, pl.ds(s_hat, 1), :] for c in range(C)], axis=0)
+
+        def ms_iter(_, state):
+            rbar_d, _k = state
+            sq = jnp.zeros((S_tot, TU), DTYPE)
+            for c in range(C):
+                diff = r0[c] - rbar_d[c:c + 1, :]
+                sq = sq + diff * diff
+            k = jnp.maximum(1.0 - a * sq, 0.0) * validf
+            sum_k = jnp.sum(k, axis=0, keepdims=True)
+            nums = [jnp.sum(rpos[c] * k, axis=0, keepdims=True)
+                    for c in range(C)]
+            new_rbar = jnp.concatenate([
+                jnp.where(sum_k > 0, n / sum_k, 0.0) for n in nums],
+                axis=0)
+            return new_rbar, k
+
+        k0 = jnp.zeros((S_tot, TU), DTYPE)
+        rbar_d, k_last = jax.lax.fori_loop(0, iters, ms_iter, (rbar0, k0))
+
+        sum_k = jnp.sum(k_last, axis=0, keepdims=True)
+        score = jnp.where(card > 0, sum_k / card, 0.0)
+
+        better = score > best_score
+        best_score = jnp.where(better, score, best_score)
+        best_depth = jnp.where(better, delta_u, best_depth)
+        rbar = jnp.where(better, rbar_d, rbar)
+        if with_k_best:
+            kbest = jnp.where(better, k_last, kbest)
+        score_sum = score_sum + score
+        return best_score, best_depth, score_sum, rbar, kbest
+
+    kbest_init = jnp.zeros((S_tot, TU) if with_k_best else (8, TU), DTYPE)
+    init = (
+        jnp.full((1, TU), -1.0, DTYPE),
+        jnp.zeros((1, TU), DTYPE),
+        jnp.zeros((1, TU), DTYPE),
+        jnp.zeros((C, TU), DTYPE),
+        kbest_init,
+    )
+    best_score, best_depth, score_sum, rbar, kbest = jax.lax.fori_loop(
+        0, dim_d, sweep_one_d, init)
+
+    best_score_ref[0, 0, :] = best_score[0]
+    score_sum_ref[0, 0, :] = score_sum[0]
+    best_depth_ref[0, 0, :] = best_depth[0]
+    rbar_ref[0, :, :] = rbar
+    if with_k_best:
+        kbest_ref[0, :, :] = kbest
+
+
+def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
+                               global_bounds, dim_d: int, s_hat,
+                               params: DepthParams,
+                               with_k_best: bool = False,
+                               padded=None, interpret: bool = False,
+                               tile_active=None) -> SweepResult:
+    """Per-pixel-bounds sweep via the tile kernel.
+
+    Args:
+      dmin_v_u / dmax_v_u: ``[V, U]`` per-pixel bounds.
+      global_bounds: static (dmin, dmax) floats bounding every per-pixel
+        value (the level's ctor constants) — determines the pad width.
+      tile_active: optional ``[V, ceil(U/128)]`` activity flags.
+    """
+    if params.interpolation != "linear":
+        raise NotImplementedError("linear interpolation only")
+    V, S, U, C = epis_v_s_u_c.shape
+    gmin, gmax = global_bounds
+    if padded is None:
+        padded = prepare_padded_epis(epis_v_s_u_c, gmin, gmax,
+                                     params.slope_factor)
+    epi_pad, PAD, s_pad = padded
+    S_tot = S + s_pad
+    U_tot = epi_pad.shape[-1]
+    TU = 128
+    n_tiles = _round_up(U, TU) // TU
+    Upad = n_tiles * TU
+
+    if Upad != U:
+        pad_cfg = ((0, 0), (0, Upad - U))
+        dmin_p = jnp.pad(dmin_v_u, pad_cfg)
+        dmax_p = jnp.pad(dmax_v_u, pad_cfg)
+    else:
+        dmin_p, dmax_p = dmin_v_u, dmax_v_u
+
+    if tile_active is None:
+        flags = jnp.ones((V * n_tiles,), jnp.int32)
+    else:
+        flags = tile_active.astype(jnp.int32).reshape(-1)
+
+    s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
+
+    kernel = functools.partial(
+        _sweep_pp_kernel, S=S, U=U, C=C, PAD=PAD, dim_d=dim_d,
+        s_pad=s_pad, slope_factor=params.slope_factor,
+        h=params.kernel_h, iters=params.mean_shift_max_iter,
+        with_k_best=with_k_best, U_tot=U_tot)
+
+    kb_S = S_tot if with_k_best else 8
+    out_shapes = [
+        jax.ShapeDtypeStruct((V, 1, Upad), DTYPE),
+        jax.ShapeDtypeStruct((V, 1, Upad), DTYPE),
+        jax.ShapeDtypeStruct((V, 1, Upad), DTYPE),
+        jax.ShapeDtypeStruct((V, C, Upad), DTYPE),
+        jax.ShapeDtypeStruct((V, kb_S, Upad if with_k_best else TU),
+                             DTYPE),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, TU), lambda i, j, f: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kb_S, TU),
+                     (lambda i, j, f: (i, 0, j)) if with_k_best
+                     else (lambda i, j, f: (i, 0, 0)),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(V, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, f: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TU), lambda i, j, f: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TU), lambda i, j, f: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, j, f: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((C, S_tot, TU), DTYPE),
+                        pltpu.VMEM((S_tot, TU), DTYPE)],
+    )
+
+    best_score, score_sum, best_depth, rbar, kbest = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(flags, s_hat_arr, dmin_p, dmax_p, epi_pad)
+
+    if with_k_best:
+        k_best = kbest[:, :S, :U]
+    else:
+        k_best = jnp.zeros((V, S, U), DTYPE)
+
+    return SweepResult(
+        best_score=best_score[:, 0, :U],
+        score_mean=score_sum[:, 0, :U] / DTYPE(dim_d),
+        best_depth=best_depth[:, 0, :U],
+        rbar=jnp.transpose(rbar[:, :, :U], (0, 2, 1)),
+        k_best=k_best,
+    )

@@ -120,15 +120,24 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         state.claim, active, s_hat, 0)
 
     with_k = params.score_version == "line"
+    padded = None
+    if pad_static is not None:
+        padded = (epis_padded, pad_static[0], pad_static[1])
     if use_pallas and uniform_bounds and params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
         row_flags = jnp.any(active, axis=1)
-        padded = None
-        if pad_static is not None:
-            padded = (epis_padded, pad_static[0], pad_static[1])
         res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
                                 s_hat, params, with_k_best=with_k,
                                 padded=padded, row_active=row_flags)
+    elif use_pallas and params.interpolation == "linear":
+        from ..ops.sweep_pallas_perpixel import sweep_pile_pallas_perpixel
+        n_tiles = -(-U // 128)
+        act_pad = jnp.pad(active, ((0, 0), (0, n_tiles * 128 - U)))
+        tile_flags = jnp.any(
+            act_pad.reshape(V, n_tiles, 128), axis=2)
+        res = sweep_pile_pallas_perpixel(
+            epis, dmin_v_u, dmax_v_u, d_bounds, dim_d, s_hat, params,
+            with_k_best=with_k, padded=padded, tile_active=tile_flags)
     else:
         res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params,
                          with_k_best=with_k)
@@ -271,7 +280,8 @@ class Depth2DComputer:
             claim=ce_mask.copy(),  # distinct buffer (donation-safe)
         )
 
-        use_pallas_path = self.use_pallas and not self._bounds_edited
+        use_pallas_path = (self.use_pallas
+                           and self.params.interpolation == "linear")
         if use_pallas_path:
             from ..ops.sweep_pallas import prepare_padded_epis
             epis_padded, pad_f, s_pad = prepare_padded_epis(

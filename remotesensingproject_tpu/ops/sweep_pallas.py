@@ -227,7 +227,8 @@ def prepare_padded_epis(epis_v_s_u_c, dmin: float, dmax: float,
     """
     V, S, U, C = epis_v_s_u_c.shape
     max_abs_d = max(abs(dmin), abs(dmax))
-    pad_f = int(np.ceil(S * max_abs_d * slope_factor)) + 2
+    # >= 128 so that per-pixel-kernel window starts stay non-negative
+    pad_f = max(128, int(np.ceil(S * max_abs_d * slope_factor)) + 2)
     Ux = _round_up(U, 128)
     # max window end: base + Ux + 128 <= start_max + Ux + 128
     #               <= (pad_f + pad_f) + Ux + 128

@@ -73,9 +73,17 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TU), 1)
     upos_i = j * TU + lane                      # global u (int)
     upos = upos_i.astype(DTYPE)
-    dmin_u = dmin_ref[0:1, :]                   # (1, TU)
-    dmax_u = dmax_ref[0:1, :]
+    dmin_u = dmin_ref[0, 0:1, :]                # (1, TU)
+    dmax_u = dmax_ref[0, 0:1, :]
     drange = dmax_u - dmin_u
+
+    def load_shifted_row(c, s, start):
+        """epi[c, s, start : start + TU] via a 256-lane window rotate
+        (same Mosaic-safe pattern as sweep_pallas.load_shifted_row)."""
+        rem = jax.lax.rem(start, 128)
+        base = pl.multiple_of(start - rem, 128)
+        win = epi_ref[0, c, pl.ds(s, 1), pl.ds(base, 256)]
+        return pltpu.roll(win, -rem, axis=1)[:, :TU]
 
     def sweep_one_d(d, carry):
         best_score, best_depth, score_sum, rbar, kbest = carry
@@ -96,27 +104,34 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
             ok = jnp.logical_and(ok, s < S)
             valid_ref[pl.ds(s, 1), :] = ok.astype(DTYPE)
 
-            # absolute (padded) positions, clamped so invalid lanes do
-            # not blow up the scan range: invalid lanes collapse onto the
-            # minimum valid position (or 0 when none are valid)
-            pos = jnp.clip(fi_i + PAD, 0, U_tot - 2)
-            repl = jnp.minimum(jnp.min(jnp.where(ok, pos, U_tot)),
-                               U_tot - 2)
+            # absolute (padded) floor positions; invalid lanes collapse
+            # onto the minimum valid position so they never widen the
+            # scan (their values are masked out downstream)
+            pos = jnp.clip(fi_i + PAD, 0, PAD + U)
+            repl = jnp.minimum(jnp.min(jnp.where(ok, pos, PAD + U)),
+                               PAD + U)
             pos = jnp.where(ok, pos, repl)
-            kmin = jnp.min(pos)
-            kmax = jnp.max(pos)
+
+            # scan over the tile's shift spread: row[pos_u] equals
+            # (row shifted to align at start + k)[lane u] exactly when
+            # q_u - start == k, with q_u = pos_u - u.  The per-(s,d)
+            # loop length is the spread of shifts across the tile —
+            # small wherever the bounds were refined.
+            q = pos - upos_i
+            start = jnp.maximum(jnp.min(q), 0)
+            kcount = jnp.max(q) - start + 2
+            krel = q - start
 
             for c in range(C):
                 def kbody(k, vab):
                     va, vb = vab
-                    sample = epi_ref[0, c, s, k]   # scalar broadcast
-                    va = va + jnp.where(pos == k, sample, 0.0)
-                    vb = vb + jnp.where(pos + 1 == k, sample, 0.0)
+                    row_k = load_shifted_row(c, s, start + k)
+                    va = va + jnp.where(krel == k, row_k, 0.0)
+                    vb = vb + jnp.where(krel == k - 1, row_k, 0.0)
                     return va, vb
 
                 va0 = jnp.zeros((1, TU), DTYPE)
-                va, vb = jax.lax.fori_loop(kmin, kmax + 2, kbody,
-                                           (va0, va0))
+                va, vb = jax.lax.fori_loop(0, kcount, kbody, (va0, va0))
                 val = (DTYPE(1.0) - t) * va + t * vb
                 shear_ref[c, pl.ds(s, 1), :] = val
             return 0
@@ -214,6 +229,8 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         dmax_p = jnp.pad(dmax_v_u, pad_cfg)
     else:
         dmin_p, dmax_p = dmin_v_u, dmax_v_u
+    dmin_p = dmin_p[:, None, :]   # [V, 1, Upad]: tileable block shape
+    dmax_p = dmax_p[:, None, :]
 
     if tile_active is None:
         flags = jnp.ones((V * n_tiles,), jnp.int32)
@@ -258,9 +275,9 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, j, f: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TU), lambda i, j, f: (i, j),
+            pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TU), lambda i, j, f: (i, j),
+            pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, S_tot, U_tot), lambda i, j, f: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -200,7 +200,8 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                                params: DepthParams,
                                with_k_best: bool = False,
                                padded=None, interpret: bool = False,
-                               tile_active=None) -> SweepResult:
+                               tile_active=None,
+                               v_block: int = 32) -> SweepResult:
     """Per-pixel-bounds sweep via the tile kernel.
 
     Args:
@@ -208,6 +209,9 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
       global_bounds: static (dmin, dmax) floats bounding every per-pixel
         value (the level's ctor constants) — determines the pad width.
       tile_active: optional ``[V, ceil(U/128)]`` activity flags.
+      v_block: rows per pallas launch — the worst-case scan can make a
+        full-V launch run for tens of seconds, which remote-device
+        watchdogs dislike; chunking bounds the per-launch runtime.
     """
     if params.interpolation != "linear":
         raise NotImplementedError("linear interpolation only")
@@ -218,6 +222,35 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                                      params.slope_factor)
     epi_pad, PAD, s_pad = padded
     S_tot = S + s_pad
+
+    if v_block and v_block < V:
+        # split into row blocks (tail handled by a second call shape)
+        n_full = V // v_block
+        Vf = n_full * v_block
+        def call(epis_c, dmin_c, dmax_c, pad_c, act_c):
+            return sweep_pile_pallas_perpixel(
+                epis_c, dmin_c, dmax_c, global_bounds, dim_d, s_hat,
+                params, with_k_best=with_k_best,
+                padded=(pad_c, PAD, s_pad), interpret=interpret,
+                tile_active=act_c, v_block=0)
+        nt = _round_up(U, 128) // 128
+        if tile_active is None:
+            tile_active = jnp.ones((V, nt), jnp.int32)
+        def blk(args):
+            return call(*args)
+        parts = jax.lax.map(blk, (
+            epis_v_s_u_c[:Vf].reshape(n_full, v_block, S, U, C),
+            dmin_v_u[:Vf].reshape(n_full, v_block, U),
+            dmax_v_u[:Vf].reshape(n_full, v_block, U),
+            epi_pad[:Vf].reshape((n_full, v_block) + epi_pad.shape[1:]),
+            tile_active[:Vf].reshape(n_full, v_block, nt)))
+        merged = [x.reshape((Vf,) + x.shape[2:]) for x in parts]
+        if Vf < V:
+            tail = call(epis_v_s_u_c[Vf:], dmin_v_u[Vf:], dmax_v_u[Vf:],
+                        epi_pad[Vf:], tile_active[Vf:])
+            merged = [jnp.concatenate([m, t], axis=0)
+                      for m, t in zip(merged, tail)]
+        return SweepResult(*merged)
     U_tot = epi_pad.shape[-1]
     TU = 128
     n_tiles = _round_up(U, TU) // TU

@@ -75,3 +75,21 @@ def test_perpixel_kernel_tile_skip(rng):
                        np.asarray(res_full.best_score)[0, :128])
     assert np.allclose(np.asarray(res.best_score)[1, 128:160],
                        np.asarray(res_full.best_score)[1, 128:160])
+
+
+def test_perpixel_kernel_v_blocks(rng):
+    """Chunked-launch path must equal the single-launch path."""
+    V, S, U, C = 7, 5, 40, 1
+    vol = rng.uniform(0.2, 1.0, (V, S, U, C)).astype(np.float32)
+    gmin, gmax = -1.0, 1.0
+    dmin = jnp.asarray(rng.uniform(-1, 0, (V, U)).astype(np.float32))
+    dmax = jnp.asarray(rng.uniform(0.1, 1, (V, U)).astype(np.float32))
+    params = DepthParams()
+    a = sweep_pile_pallas_perpixel(
+        jnp.asarray(vol), dmin, dmax, (gmin, gmax), 5, jnp.int32(2),
+        params, interpret=True, v_block=0)
+    b = sweep_pile_pallas_perpixel(
+        jnp.asarray(vol), dmin, dmax, (gmin, gmax), 5, jnp.int32(2),
+        params, interpret=True, v_block=2)
+    for x, y in zip(a, b):
+        assert np.allclose(np.asarray(x), np.asarray(y)), "chunk mismatch"

@@ -103,3 +103,50 @@ def test_depth2d_early_stop_consistent():
     da = np.asarray(sa.best_depth)
     db = np.asarray(sb.best_depth)
     assert np.abs(da - db).max() < 1e-6
+
+
+def test_depth2d_matches_oracle_rgb():
+    """3-channel end-to-end parity."""
+    vol, _ = oracle.make_synthetic_lf(S=5, V=3, U=16, C=1, n_objects=2,
+                                      seed=3, dmin=-1.0, dmax=1.0)
+    base = vol[..., 0]
+    vol3 = np.stack([base, 0.7 * base + 0.1, 1.0 - 0.5 * base],
+                    axis=-1).astype(np.float32)
+    params = DepthParams()
+    dmin, dmax, dim_d = -1.0, 1.0, 5
+    want = depth2d_oracle(vol3, dmin, dmax, dim_d, params)
+    computer = Depth2DComputer(jnp.asarray(vol3), dmin, dmax, dim_d,
+                               params=params, use_pallas=False,
+                               early_stop=False)
+    state = computer.run()
+    assert (np.asarray(state.ce_mask) == want["mask"]).all()
+    assert (np.asarray(state.claim) == want["claim"]).all()
+    np.testing.assert_allclose(np.asarray(state.best_depth),
+                               want["best_depth"], atol=3e-5)
+    np.testing.assert_allclose(np.asarray(state.rbar), want["rbar"],
+                               atol=3e-5)
+
+
+def test_depth2d_uint8_input():
+    vol, _ = oracle.make_synthetic_lf(S=5, V=4, U=20, C=1, n_objects=2,
+                                      seed=6)
+    vol8 = np.clip(np.round(vol * 255), 0, 255).astype(np.uint8)
+    c = Depth2DComputer(jnp.asarray(vol8), -1.0, 1.5, 5,
+                        use_pallas=False)
+    st = c.run()
+    # normalization must be /255 (epis in [0,1])
+    assert float(jnp.max(c.epis)) <= 1.0
+    assert np.isfinite(np.asarray(st.best_depth)).all()
+
+
+def test_depth2d_deterministic():
+    vol, _ = oracle.make_synthetic_lf(S=5, V=4, U=20, C=1, n_objects=2,
+                                      seed=8)
+    a = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                        use_pallas=False).run()
+    b = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                        use_pallas=False).run()
+    assert np.array_equal(np.asarray(a.best_depth),
+                          np.asarray(b.best_depth))
+    assert np.array_equal(np.asarray(a.disp_conf),
+                          np.asarray(b.disp_conf))

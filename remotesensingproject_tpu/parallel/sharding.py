@@ -83,7 +83,8 @@ def selective_median_sharded(src_v_u, frame_v_u_c, mask_v_u, size: int,
 def _sharded_pass_body(epis, frames, dmin_v_u, dmax_v_u,
                        ce_p, mask_p, claim, best_depth, disp_conf, rbar,
                        s_hat, *, dim_d: int, params: DepthParams,
-                       d_bounds: Tuple[float, float]):
+                       d_bounds: Tuple[float, float],
+                       use_pallas: bool = False):
     """Per-shard slice of one center-outward pass (runs inside shard_map).
 
     All arrays are the LOCAL v-shard: epis [Vl, S, U, C], frames
@@ -94,7 +95,13 @@ def _sharded_pass_body(epis, frames, dmin_v_u, dmax_v_u,
     active = mask_p & claim_plane(claim, s_hat)
     claim = set_plane(claim, s_hat, active)
 
-    res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params)
+    if use_pallas and params.interpolation == "linear":
+        from ..ops.sweep_pallas import sweep_pile_pallas
+        row_flags = jnp.any(active, axis=1)
+        res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
+                                s_hat, params, row_active=row_flags)
+    else:
+        res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params)
 
     ok = res.best_score > params.raw_score_threshold
     good = active & ok
@@ -140,7 +147,8 @@ def set_plane(x, s_hat, plane):
 
 
 def sharded_pass(mesh: Mesh, dim_d: int, params: DepthParams,
-                 d_bounds: Tuple[float, float]):
+                 d_bounds: Tuple[float, float],
+                 use_pallas: bool = False):
     """Build the jitted shard_map'd pass function for a mesh.
 
     Returns fn(epis, frames, dmin_v_u_full, dmax_v_u_full, ce_p, mask_p,
@@ -157,7 +165,8 @@ def sharded_pass(mesh: Mesh, dim_d: int, params: DepthParams,
     rep = P()
 
     body = functools.partial(_sharded_pass_body, dim_d=dim_d,
-                             params=params, d_bounds=d_bounds)
+                             params=params, d_bounds=d_bounds,
+                             use_pallas=use_pallas)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(vs, svc, vu, vu, vu, vu, sv, sv, sv, svc, rep),

@@ -38,7 +38,8 @@ class FineToCoarse:
                  use_pallas: Optional[bool] = None,
                  early_stop: bool = True,
                  verbose: bool = False,
-                 pass_chunk: int = 8):
+                 pass_chunk: int = 8,
+                 mesh=None):
         epis = jnp.asarray(epis_v_s_u_c)
         if epis.ndim == 3:
             epis = epis[..., None]
@@ -67,11 +68,20 @@ class FineToCoarse:
                 print(f"level {len(self.computers)}: "
                       f"(v={level.shape[0]}, u={level.shape[2]}) "
                       f"slope_factor={lvl_params.slope_factor:.4f}")
-            self.computers.append(Depth2DComputer(
-                level.astype(jnp.uint8) if self.is_uint8 else level,
-                dmin, dmax, dim_d, epi_scale_factor, lvl_params,
-                verbose=verbose, use_pallas=use_pallas,
-                early_stop=early_stop, pass_chunk=pass_chunk))
+            lvl_input = (level.astype(jnp.uint8) if self.is_uint8
+                         else level)
+            if mesh is not None:
+                from ..parallel.driver import ShardedDepth2DComputer
+                self.computers.append(ShardedDepth2DComputer(
+                    lvl_input, dmin, dmax, dim_d, mesh=mesh,
+                    epi_scale_factor=epi_scale_factor, params=lvl_params,
+                    verbose=verbose, use_pallas=use_pallas,
+                    early_stop=early_stop))
+            else:
+                self.computers.append(Depth2DComputer(
+                    lvl_input, dmin, dmax, dim_d, epi_scale_factor,
+                    lvl_params, verbose=verbose, use_pallas=use_pallas,
+                    early_stop=early_stop, pass_chunk=pass_chunk))
             self.level_params.append(lvl_params)
             level = ds_fn(level)
             if self.is_uint8:

@@ -84,7 +84,8 @@ def _sharded_pass_body(epis, frames, dmin_v_u, dmax_v_u,
                        ce_p, mask_p, claim, best_depth, disp_conf, rbar,
                        s_hat, *, dim_d: int, params: DepthParams,
                        d_bounds: Tuple[float, float],
-                       use_pallas: bool = False):
+                       use_pallas: bool = False,
+                       uniform_bounds: bool = True):
     """Per-shard slice of one center-outward pass (runs inside shard_map).
 
     All arrays are the LOCAL v-shard: epis [Vl, S, U, C], frames
@@ -95,11 +96,22 @@ def _sharded_pass_body(epis, frames, dmin_v_u, dmax_v_u,
     active = mask_p & claim_plane(claim, s_hat)
     claim = set_plane(claim, s_hat, active)
 
-    if use_pallas and params.interpolation == "linear":
+    if use_pallas and uniform_bounds and \
+            params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
         row_flags = jnp.any(active, axis=1)
         res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
                                 s_hat, params, row_active=row_flags)
+    elif use_pallas and params.interpolation == "linear":
+        from ..ops.sweep_pallas_perpixel import (
+            sweep_pile_pallas_perpixel)
+        Vl, U = active.shape
+        n_tiles = -(-U // 128)
+        act_pad = jnp.pad(active, ((0, 0), (0, n_tiles * 128 - U)))
+        tile_flags = jnp.any(act_pad.reshape(Vl, n_tiles, 128), axis=2)
+        res = sweep_pile_pallas_perpixel(
+            epis, dmin_v_u, dmax_v_u, d_bounds, dim_d, s_hat, params,
+            tile_active=tile_flags)
     else:
         res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params)
 
@@ -148,7 +160,8 @@ def set_plane(x, s_hat, plane):
 
 def sharded_pass(mesh: Mesh, dim_d: int, params: DepthParams,
                  d_bounds: Tuple[float, float],
-                 use_pallas: bool = False):
+                 use_pallas: bool = False,
+                 uniform_bounds: bool = True):
     """Build the jitted shard_map'd pass function for a mesh.
 
     Returns fn(epis, frames, dmin_v_u_full, dmax_v_u_full, ce_p, mask_p,
@@ -166,7 +179,8 @@ def sharded_pass(mesh: Mesh, dim_d: int, params: DepthParams,
 
     body = functools.partial(_sharded_pass_body, dim_d=dim_d,
                              params=params, d_bounds=d_bounds,
-                             use_pallas=use_pallas)
+                             use_pallas=use_pallas,
+                             uniform_bounds=uniform_bounds)
     fn = shard_map(
         body, mesh=mesh,
         in_specs=(vs, svc, vu, vu, vu, vu, sv, sv, sv, svc, rep),

@@ -78,3 +78,44 @@ def test_sharded_pass_matches_single_device():
     assert np.allclose(np.asarray(rbar), np.asarray(ref.rbar), atol=1e-6)
     assert int(remaining) == int(jnp.sum(
         (ref.ce_mask & ref.claim)[s_hat].astype(jnp.int32)))
+
+
+def test_sharded_driver_matches_single_device():
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+    from remotesensingproject_tpu.parallel.driver import (
+        ShardedDepth2DComputer)
+
+    vol, _ = oracle.make_synthetic_lf(S=6, V=16, U=24, C=1, n_objects=3,
+                                      seed=13, dmin=-1.0, dmax=1.5)
+    single = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                             use_pallas=False, early_stop=False)
+    ss = single.run()
+    sharded = ShardedDepth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                                     use_pallas=False, early_stop=False)
+    sh = sharded.run()
+    assert np.allclose(np.asarray(sh.best_depth),
+                       np.asarray(ss.best_depth), atol=1e-6)
+    assert (np.asarray(sh.claim) == np.asarray(ss.claim)).all()
+    assert np.allclose(np.asarray(sh.ce), np.asarray(ss.ce), atol=1e-6)
+    assert np.allclose(np.asarray(sh.disp_conf),
+                       np.asarray(ss.disp_conf), atol=1e-5)
+
+
+def test_sharded_fine_to_coarse_matches_single():
+    from remotesensingproject_tpu.config import PyramidParams
+    from remotesensingproject_tpu.models.fine_to_coarse import FineToCoarse
+
+    vol, _ = oracle.make_synthetic_lf(S=6, V=24, U=32, C=1, n_objects=3,
+                                      seed=14, dmin=-1.0, dmax=1.5)
+    pyr = PyramidParams(min_spatial_dim=10)
+    a = FineToCoarse(jnp.asarray(vol), -1.0, 1.5, 5, pyramid=pyr,
+                     use_pallas=False, early_stop=False)
+    a.run()
+    fa, va = a.get_results()
+    mesh = make_mesh()
+    b = FineToCoarse(jnp.asarray(vol), -1.0, 1.5, 5, pyramid=pyr,
+                     use_pallas=False, early_stop=False, mesh=mesh)
+    b.run()
+    fb, vb = b.get_results()
+    assert np.allclose(np.asarray(fa), np.asarray(fb), atol=1e-6)
+    assert (np.asarray(va) == np.asarray(vb)).all()

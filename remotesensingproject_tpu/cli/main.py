@@ -40,6 +40,10 @@ def _add_depth_args(p):
     p.add_argument("--s-hat", type=int, default=-1)
     p.add_argument("--scale-factor", type=float, default=-1.0)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="run v-sharded over all local devices")
+    p.add_argument("--ckpt-dir", default=None,
+                   help="checkpoint/resume directory (fine-to-coarse)")
 
 
 def _read_volume(args):
@@ -155,12 +159,16 @@ def cmd_fine_to_coarse(args):
     from ..utils import io
 
     epis = _read_volume(args)
+    mesh = None
+    if args.sharded:
+        from ..parallel.mesh import make_mesh
+        mesh = make_mesh()
     t0 = time.time()
     ftc = FineToCoarse(
         epis, args.dmin, args.dmax, args.dim_d,
         epi_scale_factor=args.scale_factor, verbose=True,
-        use_pallas=None if not args.no_pallas else False)
-    ftc.run()
+        use_pallas=None if not args.no_pallas else False, mesh=mesh)
+    ftc.run(ckpt_dir=args.ckpt_dir)
     maps = ftc.get_coloured_depth_maps()
     fused, validity = ftc.get_results()
     print(f"fine-to-coarse in {time.time() - t0:.2f}s")

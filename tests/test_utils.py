@@ -68,3 +68,26 @@ def test_image_converter_quantiles():
     assert conv.max == flat[int(np.floor(0.98 * n))]
     out = conv.copy_and_scale(img)
     assert out.dtype == np.uint8
+
+
+def test_fine_to_coarse_checkpoint_resume(tmp_path):
+    import sys
+    sys.path.insert(0, "tests")
+    import oracle
+    from remotesensingproject_tpu.config import PyramidParams
+    from remotesensingproject_tpu.models.fine_to_coarse import FineToCoarse
+
+    vol, _ = oracle.make_synthetic_lf(S=5, V=24, U=32, C=1, n_objects=2,
+                                      seed=9)
+    pyr = PyramidParams(min_spatial_dim=10)
+    a = FineToCoarse(jnp.asarray(vol), -1.0, 1.5, 5, pyramid=pyr,
+                     use_pallas=False)
+    a.run(ckpt_dir=str(tmp_path))
+    fa, va = a.get_results()
+    # resume: all levels restored from disk, no recompute
+    b = FineToCoarse(jnp.asarray(vol), -1.0, 1.5, 5, pyramid=pyr,
+                     use_pallas=False)
+    b.run(ckpt_dir=str(tmp_path))
+    fb, vb = b.get_results()
+    assert np.array_equal(np.asarray(fa), np.asarray(fb))
+    assert np.array_equal(np.asarray(va), np.asarray(vb))

@@ -105,8 +105,15 @@ def propagate(
             claim_s = claim_s & ~cond
             return claim_s, planes
 
-        claim_s, planes = jax.lax.fori_loop(
-            0, o_hi - o_lo + 1, per_o_step, (claim_s, planes))
+        # skip planes with nothing left to claim (cheap early passes)
+        any_work = jnp.any(claim_s)
+
+        claim_s, planes = jax.lax.cond(
+            any_work,
+            lambda args: jax.lax.fori_loop(
+                0, o_hi - o_lo + 1, per_o_step, args),
+            lambda args: args,
+            (claim_s, planes))
 
         claim = jax.lax.dynamic_update_index_in_dim(claim, claim_s, s, 0)
         targets = tuple(

@@ -178,9 +178,23 @@ def _sweep_row_body(s_hat_ref, dvec_ref, epi_ref,
                 axis=0)                                  # [C, Ux]
             return new_rbar, k
 
+        # early exit when r_bar is stationary: further iterations are
+        # exact no-ops (K, sums and r_bar reproduce themselves), so the
+        # result is bit-identical to the fixed-count loop.
         k0 = jnp.zeros((S_tot, Ux), DTYPE)
-        rbar_d, k_last = jax.lax.fori_loop(
-            0, iters, ms_iter, (rbar0, k0))
+
+        def ms_cond(state):
+            i, _rb, _k, done = state
+            return jnp.logical_and(i < iters, jnp.logical_not(done))
+
+        def ms_step(state):
+            i, rb, k, _done = state
+            new_rb, new_k = ms_iter(i, (rb, k))
+            done = jnp.all(new_rb == rb)
+            return i + 1, new_rb, new_k, done
+
+        _, rbar_d, k_last, _ = jax.lax.while_loop(
+            ms_cond, ms_step, (jnp.int32(0), rbar0, k0, False))
 
         # score from the LAST iteration's kernel values (core.hpp:612-622)
         sum_k = jnp.sum(k_last, axis=0, keepdims=True)

@@ -65,6 +65,12 @@ def synthetic_sequence(S, V, U, seed=0):
 def main():
     import jax
 
+    from remotesensingproject_tpu.utils.profiling import (
+        enable_compilation_cache)
+
+    cache_dir = enable_compilation_cache()
+    print(f"# compilation cache: {cache_dir}", file=sys.stderr)
+
     small = os.environ.get("BENCH_SMALL") == "1"
     if small:
         S, V, U, D = 24, 128, 256, 32

@@ -230,6 +230,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)
+    from ..utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     return args.fn(args)
 
 

@@ -5,14 +5,16 @@ confident parents (rslf_fine_to_coarse.hpp:202-294), so the candidate
 disparity — and hence the sheared sample index — varies per pixel and the
 uniform-shift kernel (sweep_pallas.py) does not apply.  TPUs have no
 per-lane vector gather, so this kernel works on 128-lane u-tiles and
-resolves the gather with a value-adaptive scan: for each (s, d) the
-per-lane integer sample offsets span a small range [kmin, kmax] (bounds
-are locally similar after refinement); scanning k over that range,
-broadcasting the scalar EPI sample at k and selecting it into the lanes
-whose floor-index equals k, costs O(spread) vector ops instead of a
-gather.  Where bounds are still the unrefined ctor constants the spread
-can be large — the scan bound is computed from the data, so only such
-tiles pay.
+resolves the gather with a window scan VECTORIZED OVER s: for one
+candidate index k_d, the integer sample positions of all (s, lane) pairs
+span a window [w0, w0 + kcount); scanning k over that window, reading the
+aligned row block E[:, w0+k : w0+k+TU] (one dynamic slice + lane rotate
+for ALL s at once) and selecting it into the (s, lane) pairs whose
+floor-position matches, costs O(kcount) vector ops on [S, TU] tiles.
+kcount is bounded by the padded window (no data-dependent blowup), and
+the per-iteration work is S-tall — two orders of magnitude fewer loop
+iterations than a per-s scalar scan, which is what makes this kernel
+launch-watchdog-safe at production sizes.
 
 Numerics: this kernel computes the sample position I = (s_hat - s) *
 delta_u * slope + u PER LANE in float32, matching the reference's
@@ -39,7 +41,7 @@ from .sweep_pallas import _round_up, prepare_padded_epis
 
 def _sweep_pp_kernel(flags_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
                      best_score_ref, score_sum_ref, best_depth_ref,
-                     rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                     rbar_ref, kbest_ref, *,
                      S: int, U: int, C: int, PAD: int, dim_d: int,
                      s_pad: int, slope_factor: float, h: float,
                      iters: int, with_k_best: bool, U_tot: int):
@@ -53,7 +55,7 @@ def _sweep_pp_kernel(flags_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
     def _run():
         _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
                        best_score_ref, score_sum_ref, best_depth_ref,
-                       rbar_ref, kbest_ref, shear_ref, valid_ref,
+                       rbar_ref, kbest_ref,
                        S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
                        slope_factor=slope_factor, h=h, iters=iters,
                        with_k_best=with_k_best, U_tot=U_tot)
@@ -61,7 +63,7 @@ def _sweep_pp_kernel(flags_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
 
 def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
                    best_score_ref, score_sum_ref, best_depth_ref,
-                   rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                   rbar_ref, kbest_ref, *,
                    S: int, U: int, C: int, PAD: int, dim_d: int,
                    s_pad: int, slope_factor: float, h: float,
                    iters: int, with_k_best: bool, U_tot: int):
@@ -77,13 +79,9 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
     dmax_u = dmax_ref[0, 0:1, :]
     drange = dmax_u - dmin_u
 
-    def load_shifted_row(c, s, start):
-        """epi[c, s, start : start + TU] via a 256-lane window rotate
-        (same Mosaic-safe pattern as sweep_pallas.load_shifted_row)."""
-        rem = jax.lax.rem(start, 128)
-        base = pl.multiple_of(start - rem, 128)
-        win = epi_ref[0, c, pl.ds(s, 1), pl.ds(base, 256)]
-        return pltpu.roll(win, -rem, axis=1)[:, :TU]
+    s_col = jax.lax.broadcasted_iota(jnp.int32, (S_tot, 1), 0)
+    ds_col = (s_hat - s_col).astype(DTYPE)      # (S_tot, 1)
+    s_valid = s_col < S                          # (S_tot, 1)
 
     def sweep_one_d(d, carry):
         best_score, best_depth, score_sum, rbar, kbest = carry
@@ -91,60 +89,63 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
         # (core.hpp:548)
         delta_u = dmin_u + (d.astype(DTYPE) * drange) / DTYPE(dim_d - 1)
 
-        def gather_s(s, _):
-            ds = (s_hat - s).astype(DTYPE)
-            # I = (s_hat - s) * d * slope + u, per lane (core.hpp:550-552)
-            shift = ds * delta_u * DTYPE(slope_factor)
-            I = shift + upos
-            fi = jnp.floor(I)
-            t = I - fi
-            fi_i = fi.astype(jnp.int32)
-            ceil_i = fi_i + (t > 0).astype(jnp.int32)
-            ok = (fi_i >= 0) & (ceil_i <= U - 1)
-            ok = jnp.logical_and(ok, s < S)
-            valid_ref[pl.ds(s, 1), :] = ok.astype(DTYPE)
+        # ---- sheared positions for ALL (s, lane) at once -------------
+        # I = (s_hat - s) * d * slope + u, per lane (core.hpp:550-552)
+        shift = ds_col * delta_u * DTYPE(slope_factor)     # [S_tot, TU]
+        I = shift + upos
+        fi = jnp.floor(I)
+        t = I - fi
+        fi_i = fi.astype(jnp.int32)
+        ceil_i = fi_i + (t > 0).astype(jnp.int32)
+        ok = (fi_i >= 0) & (ceil_i <= U - 1) & s_valid
+        validf = ok.astype(DTYPE)
 
-            # absolute (padded) floor positions; invalid lanes collapse
-            # onto the minimum valid position so they never widen the
-            # scan (their values are masked out downstream)
-            pos = jnp.clip(fi_i + PAD, 0, PAD + U)
-            repl = jnp.minimum(jnp.min(jnp.where(ok, pos, PAD + U)),
-                               PAD + U)
-            pos = jnp.where(ok, pos, repl)
+        # window coordinates: row block at offset w reads lane l from
+        # E_pad[s, w + l]; position p matches iteration k when
+        # p - l - w0 == k.  Invalid pairs collapse onto the min valid
+        # relative offset so they never widen the scan.
+        pos = fi_i + PAD                                  # [S_tot, TU]
+        rel = pos - lane                                  # [S_tot, TU]
+        BIG = jnp.int32(2 ** 30)
+        w0 = jnp.min(jnp.where(ok, rel, BIG))
+        w0 = jnp.minimum(w0, jnp.int32(PAD + U))          # all-invalid
+        w0 = jnp.maximum(w0, jnp.int32(0))
+        krel = jnp.where(ok, rel, w0) - w0                # [S_tot, TU]
+        kcount = jnp.max(krel) + 2
 
-            # scan over the tile's shift spread: row[pos_u] equals
-            # (row shifted to align at start + k)[lane u] exactly when
-            # q_u - start == k, with q_u = pos_u - u.  The per-(s,d)
-            # loop length is the spread of shifts across the tile —
-            # small wherever the bounds were refined.
-            q = pos - upos_i
-            start = jnp.maximum(jnp.min(q), 0)
-            kcount = jnp.max(q) - start + 2
-            krel = q - start
-
+        def kbody(k, vab):
+            va, vb = vab
+            start = w0 + k
+            rem = jax.lax.rem(start, 128)
+            base = pl.multiple_of(start - rem, 128)
+            rows = []
             for c in range(C):
-                def kbody(k, vab):
-                    va, vb = vab
-                    row_k = load_shifted_row(c, s, start + k)
-                    va = va + jnp.where(krel == k, row_k, 0.0)
-                    vb = vb + jnp.where(krel == k - 1, row_k, 0.0)
-                    return va, vb
+                win = epi_ref[0, c, pl.ds(0, S_tot), pl.ds(base, 256)]
+                rows.append(pltpu.roll(win, -rem, axis=1)[:, :TU])
+            hit_a = krel == k
+            hit_b = krel == k - 1
+            va = tuple(va_c + jnp.where(hit_a, r, 0.0)
+                       for va_c, r in zip(va, rows))
+            vb = tuple(vb_c + jnp.where(hit_b, r, 0.0)
+                       for vb_c, r in zip(vb, rows))
+            return va, vb
 
-                va0 = jnp.zeros((1, TU), DTYPE)
-                va, vb = jax.lax.fori_loop(0, kcount, kbody, (va0, va0))
-                val = (DTYPE(1.0) - t) * va + t * vb
-                shear_ref[c, pl.ds(s, 1), :] = val
-            return 0
+        zeros = tuple(jnp.zeros((S_tot, TU), DTYPE) for _ in range(C))
+        va, vb = jax.lax.fori_loop(0, kcount, kbody, (zeros, zeros))
+        shear = [(DTYPE(1.0) - t) * va_c + t * vb_c
+                 for va_c, vb_c in zip(va, vb)]           # C x [S_tot, TU]
 
-        jax.lax.fori_loop(0, S_tot, gather_s, 0)
-
-        validf = valid_ref[:, :]                       # [S_tot, TU]
-        r0 = shear_ref[:, :, :] * validf
-        rpos = jnp.maximum(r0, 0.0)
+        r0 = [sh * validf for sh in shear]
+        rpos = [jnp.maximum(r, 0.0) for r in r0]
         card = jnp.sum(validf, axis=0, keepdims=True)
 
+        # r_bar init: the s_hat row (core.hpp:577) — shift there is 0 so
+        # the sheared value is the EPI row itself; select it from the
+        # computed shear via an s-iota compare (no ref indexing needed).
+        at_hat = (s_col == s_hat).astype(DTYPE)           # [S_tot, 1]
         rbar0 = jnp.concatenate(
-            [shear_ref[c, pl.ds(s_hat, 1), :] for c in range(C)], axis=0)
+            [jnp.sum(sh * at_hat, axis=0, keepdims=True) for sh in shear],
+            axis=0)                                       # [C, TU]
 
         def ms_iter(_, state):
             rbar_d, _k = state
@@ -216,7 +217,7 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                                with_k_best: bool = False,
                                padded=None, interpret: bool = False,
                                tile_active=None,
-                               v_block: int = 32) -> SweepResult:
+                               v_block: int = 128) -> SweepResult:
     """Per-pixel-bounds sweep via the tile kernel.
 
     Args:
@@ -224,9 +225,8 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
       global_bounds: static (dmin, dmax) floats bounding every per-pixel
         value (the level's ctor constants) — determines the pad width.
       tile_active: optional ``[V, ceil(U/128)]`` activity flags.
-      v_block: rows per pallas launch — the worst-case scan can make a
-        full-V launch run for tens of seconds, which remote-device
-        watchdogs dislike; chunking bounds the per-launch runtime.
+      v_block: rows per pallas launch — bounds the per-launch runtime so
+        remote-device watchdogs never trip even at worst-case scans.
     """
     if params.interpolation != "linear":
         raise NotImplementedError("linear interpolation only")
@@ -331,8 +331,6 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((C, S_tot, TU), DTYPE),
-                        pltpu.VMEM((S_tot, TU), DTYPE)],
     )
 
     best_score, score_sum, best_depth, rbar, kbest = pl.pallas_call(

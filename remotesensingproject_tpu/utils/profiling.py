@@ -77,3 +77,29 @@ def device_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None):
+    """Enable JAX's persistent compilation cache.
+
+    The sweep kernels take minutes of XLA compile time at production
+    shapes; the on-disk cache amortizes that to zero across runs (the
+    reference has no compile step to amortize — this is a TPU-framework
+    concern).  Defaults to ``.jax_cache/`` next to the package; override
+    with the JAX_COMPILATION_CACHE_DIR environment variable.
+    """
+    import os
+
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir is None:
+        import pathlib
+
+        cache_dir = str(
+            pathlib.Path(__file__).resolve().parents[2] / ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

@@ -60,7 +60,21 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sweep_kernel(flags_ref, s_hat_ref, dvec_ref, epi_ref,
+def make_fetch_remap(flags):
+    """Map row i -> the nearest active row index at or before i.
+
+    Used as the EPI block index for skipped rows: consecutive grid steps
+    with an unchanged block index skip the DMA entirely, so a pass where
+    most rows are claimed fetches only the active rows' EPIs instead of
+    paying a fetch-latency floor for every row.
+    """
+    V = flags.shape[0]
+    idx = jnp.where(flags > 0, jnp.arange(V, dtype=jnp.int32), -1)
+    rowmap = jax.lax.cummax(idx)
+    return jnp.maximum(rowmap, 0)
+
+
+def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
                   best_score_ref, score_sum_ref, best_depth_ref,
                   rbar_ref, kbest_ref, shear_ref, valid_ref, *,
                   S: int, U: int, Ux: int, C: int, PAD: int, dim_d: int,
@@ -305,15 +319,15 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         jax.ShapeDtypeStruct((V, kb_S, kb_U), DTYPE),  # kbest
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, Ux), lambda i, f: (i, 0, 0),
+        pl.BlockSpec((1, 1, Ux), lambda i, f, r: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Ux), lambda i, f: (i, 0, 0),
+        pl.BlockSpec((1, 1, Ux), lambda i, f, r: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Ux), lambda i, f: (i, 0, 0),
+        pl.BlockSpec((1, 1, Ux), lambda i, f, r: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, Ux), lambda i, f: (i, 0, 0),
+        pl.BlockSpec((1, C, Ux), lambda i, f, r: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kb_S, kb_U), lambda i, f: (i, 0, 0),
+        pl.BlockSpec((1, kb_S, kb_U), lambda i, f, r: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
 
@@ -323,14 +337,14 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         flags = row_active.astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(V,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, f: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, f, r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, dim_d), lambda i, f: (0, 0),
+            pl.BlockSpec((1, dim_d), lambda i, f, r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, f: (i, 0, 0, 0),
+            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, f, r: (r[i], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -343,7 +357,8 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(flags, s_hat_arr, jnp.asarray(dvec), epi_pad)
+    )(flags, make_fetch_remap(flags), s_hat_arr,
+      jnp.asarray(dvec), epi_pad)
 
     if with_k_best:
         k_best = kbest[:, :S, :U]

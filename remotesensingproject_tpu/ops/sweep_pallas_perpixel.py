@@ -36,10 +36,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import DepthParams
 from ..types import DTYPE, chan_scale
 from .sweep import SweepResult
-from .sweep_pallas import _round_up, prepare_padded_epis
+from .sweep_pallas import (_round_up, make_fetch_remap,
+                           prepare_padded_epis)
 
 
-def _sweep_pp_kernel(flags_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
+def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
                      best_score_ref, score_sum_ref, best_depth_ref,
                      rbar_ref, kbest_ref, *,
                      S: int, U: int, C: int, PAD: int, dim_d: int,
@@ -303,31 +304,31 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                              DTYPE),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+        pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+        pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+        pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, TU), lambda i, j, f: (i, 0, j),
+        pl.BlockSpec((1, C, TU), lambda i, j, f, r: (i, 0, j),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, kb_S, TU),
-                     (lambda i, j, f: (i, 0, j)) if with_k_best
-                     else (lambda i, j, f: (i, 0, 0)),
+                     (lambda i, j, f, r: (i, 0, j)) if with_k_best
+                     else (lambda i, j, f, r: (i, 0, 0)),
                      memory_space=pltpu.VMEM),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(V, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j, f: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, j, f, r: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+            pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TU), lambda i, j, f: (i, 0, j),
+            pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, j, f: (i, 0, 0, 0),
+            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, j, f, r: (r[i], 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
@@ -338,7 +339,8 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(flags, s_hat_arr, dmin_p, dmax_p, epi_pad)
+    )(flags, make_fetch_remap(flags.reshape(V, n_tiles).max(axis=1)),
+      s_hat_arr, dmin_p, dmax_p, epi_pad)
 
     if with_k_best:
         k_best = kbest[:, :S, :U]

@@ -125,10 +125,12 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         padded = (epis_padded, pad_static[0], pad_static[1])
     if use_pallas and uniform_bounds and params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
-        row_flags = jnp.any(active, axis=1)
+        n_tiles = -(-U // 128)
+        act_pad = jnp.pad(active, ((0, 0), (0, n_tiles * 128 - U)))
+        chunk_flags = jnp.any(act_pad.reshape(V, n_tiles, 128), axis=2)
         res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
                                 s_hat, params, with_k_best=with_k,
-                                padded=padded, row_active=row_flags)
+                                padded=padded, row_active=chunk_flags)
     elif use_pallas and params.interpolation == "linear":
         from ..ops.sweep_pallas_perpixel import sweep_pile_pallas_perpixel
         n_tiles = -(-U // 128)
@@ -303,6 +305,8 @@ class Depth2DComputer:
         schedule = center_outward_schedule(S)
         chunk = self.pass_chunk
         done = 0
+        import time as _time
+        t_chunk = _time.time()
         while done < len(schedule):
             # variable-length tail chunk (repeating a pass to pad is NOT
             # a no-op: the selective median sees propagation-painted
@@ -313,7 +317,11 @@ class Depth2DComputer:
                 self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
                 epis_padded, state, jnp.asarray(part, jnp.int32))
             if self.verbose:
-                print(f"passes {done}/{len(schedule)}")
+                now = _time.time()
+                print(f"passes {done}/{len(schedule)} "
+                      f"(+{now - t_chunk:.1f}s, "
+                      f"remaining px {int(remaining)})")
+                t_chunk = now
             if self.early_stop and int(remaining) == 0:
                 if self.verbose:
                     print(f"early stop after {done} passes")

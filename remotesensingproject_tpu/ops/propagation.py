@@ -16,6 +16,16 @@ offsets o (o = u' - u = round(d * ds * slope)) from LARGE to SMALL,
 first-writer-wins via the claim bit — the largest o is the smallest u.
 All per-o work is full-plane shifted elementwise ops, ideal for the VPU.
 
+TPU mapping notes:
+* source planes are zero/False-padded along u by the static maximum
+  offset once per pass, so every per-o step is a pure
+  ``lax.dynamic_slice`` (a VPU-speed windowed copy) — never a gather
+  (``x[:, clip(u - o)]`` lowers to a per-element gather on TPU), and the
+  out-of-range test comes free from the False padding;
+* the o loop bounds are tightened per pass from the masked sources'
+  actual offset extremes (two reductions), so late passes with few or
+  depth-clustered sources iterate a fraction of the worst-case range.
+
 Semantics mirrored from the reference:
 * painted values come from the source pixel: the (median-filtered) sweep
   depth (:1119), the disparity confidence (:1121), and under the line-
@@ -31,6 +41,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..types import DTYPE, normsq, round_half_away
 
@@ -55,27 +66,44 @@ def propagate(
       (claim_s_v_u, tuple of updated target volumes in payload order).
     """
     S, V, U = claim_s_v_u.shape
+    C = frames_s_v_u_c.shape[-1]
     s_hat = jnp.asarray(s_hat, jnp.int32)
     dmin, dmax = d_bounds
     eps_sq = DTYPE(epsilon) ** 2
 
     offs_num_v_u = depth_f_v_u * DTYPE(slope_factor)  # offset per unit ds
-    u_idx = jnp.arange(U, dtype=jnp.int32)
 
+    # static pad: the largest |offset| any (s, d) pair can produce
+    ds_max = max(1, S - 1)
+    PADO = int(np.ceil(max(abs(dmin), abs(dmax)) * slope_factor * ds_max)) + 1
+
+    def pad_u(x, value):
+        cfg = [(0, 0)] * x.ndim
+        cfg[1] = (PADO, PADO)
+        return jnp.pad(x, cfg, constant_values=value)
+
+    sm_pad = pad_u(source_mask_v_u, False)
+    offs_num_pad = pad_u(offs_num_v_u, 0.0)
+    rbar_pad = pad_u(rbar_v_u_c, 0.0)
+    sources_pad = tuple(pad_u(s, 0.0) for _, s in payloads)
     targets = tuple(t for t, _ in payloads)
-    sources = tuple(s for _, s in payloads)
+
+    # masked offset-per-unit-ds extremes -> tight per-s o ranges
+    any_src = jnp.any(source_mask_v_u)
+    mn_num = jnp.min(jnp.where(source_mask_v_u, offs_num_v_u, jnp.inf))
+    mx_num = jnp.max(jnp.where(source_mask_v_u, offs_num_v_u, -jnp.inf))
+    mn_num = jnp.where(any_src, mn_num, 0.0)
+    mx_num = jnp.where(any_src, mx_num, 0.0)
 
     def per_s(s, carry):
         claim, targets = carry
         ds = (s_hat - s).astype(DTYPE)
-        cand = jnp.stack([
-            round_half_away(DTYPE(dmin) * ds * DTYPE(slope_factor)),
-            round_half_away(DTYPE(dmax) * ds * DTYPE(slope_factor)),
-        ])
+        cand = jnp.stack([round_half_away(mn_num * ds),
+                          round_half_away(mx_num * ds)])
         o_lo = jnp.min(cand).astype(jnp.int32)
         o_hi = jnp.max(cand).astype(jnp.int32)
 
-        offs_v_u = round_half_away(offs_num_v_u * ds)  # [V, U] float
+        offs_pad = round_half_away(offs_num_pad * ds)  # [V, U+2P] float
         frame = jax.lax.dynamic_index_in_dim(
             frames_s_v_u_c, s, 0, keepdims=False)
         claim_s = jax.lax.dynamic_index_in_dim(claim, s, 0, keepdims=False)
@@ -83,30 +111,32 @@ def propagate(
             jax.lax.dynamic_index_in_dim(t, s, 0, keepdims=False)
             for t in targets)
 
+        def shifted(x, o):
+            """x[:, u - o] for u in [0, U): a pure dynamic slice."""
+            starts = [jnp.int32(0), (PADO - o).astype(jnp.int32)]
+            starts += [jnp.int32(0)] * (x.ndim - 2)
+            return jax.lax.dynamic_slice(x, starts, (V, U) + x.shape[2:])
+
         def per_o_step(i, inner):
             # descending o: first-writer-wins == smallest source u wins,
             # the reference's sequential order.
             o = o_hi - i
             claim_s, planes = inner
-            src_u = u_idx - o
-            in_range = (src_u >= 0) & (src_u < U)
-            src_uc = jnp.clip(src_u, 0, U - 1)
-
-            sm = source_mask_v_u[:, src_uc] & in_range[None, :]
-            off_sh = offs_v_u[:, src_uc]
-            rb_sh = rbar_v_u_c[:, src_uc, :]
+            sm = shifted(sm_pad, o)
+            off_sh = shifted(offs_pad, o)
+            rb_sh = shifted(rbar_pad, o)
 
             radiance_ok = normsq(frame - rb_sh) < eps_sq
             cond = sm & (off_sh == o.astype(DTYPE)) & claim_s & radiance_ok
 
             planes = tuple(
-                jnp.where(cond, src[:, src_uc], plane)
-                for plane, src in zip(planes, sources))
+                jnp.where(cond, shifted(src, o), plane)
+                for plane, src in zip(planes, sources_pad))
             claim_s = claim_s & ~cond
             return claim_s, planes
 
         # skip planes with nothing left to claim (cheap early passes)
-        any_work = jnp.any(claim_s)
+        any_work = jnp.any(claim_s) & any_src
 
         claim_s, planes = jax.lax.cond(
             any_work,

@@ -91,16 +91,23 @@ def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
     interpolation rule, rslf_interpolation.hpp:182, specialised to a
     per-(s,d) scalar shift), evaluated as lane-iota compares.
     """
-    # Row skipping: rows whose active-pixel flag is 0 (all pixels
-    # claimed or unconfident) skip the whole sweep — the merge in the
-    # driver never reads their outputs.  This is what makes the later
-    # center-outward passes nearly free, the dense analog of the
-    # reference's findNonZero sparsity (core.hpp:515-516).
-    run_row = flags_ref[pl.program_id(0)] != 0
+    # Activity skipping at two granularities (the dense analog of the
+    # reference's findNonZero sparsity, core.hpp:515-516): rows whose
+    # 128-lane chunks are ALL inactive skip everything; within an active
+    # row, the gather runs full-width but the mean-shift/score — the
+    # dominant cost — runs only on active chunks.  The merge in the
+    # driver never reads inactive pixels' outputs.
+    i = pl.program_id(0)
+    n_chunks = Ux // 128
+    any_chunk = flags_ref[i * n_chunks]
+    for j in range(1, n_chunks):
+        any_chunk = any_chunk | flags_ref[i * n_chunks + j]
+    run_row = any_chunk != 0
 
     @pl.when(run_row)
     def _run():
-        _sweep_row_body(s_hat_ref, dvec_ref, epi_ref, best_score_ref,
+        _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
+                        best_score_ref,
                         score_sum_ref, best_depth_ref, rbar_ref,
                         kbest_ref, shear_ref, valid_ref, S=S, U=U, Ux=Ux,
                         C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
@@ -108,7 +115,7 @@ def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
                         with_k_best=with_k_best)
 
 
-def _sweep_row_body(s_hat_ref, dvec_ref, epi_ref,
+def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
                     best_score_ref, score_sum_ref, best_depth_ref,
                     rbar_ref, kbest_ref, shear_ref, valid_ref, *,
                     S: int, U: int, Ux: int, C: int, PAD: int,
@@ -117,32 +124,38 @@ def _sweep_row_body(s_hat_ref, dvec_ref, epi_ref,
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
     S_tot = S + s_pad
+    n_chunks = Ux // 128
+    row0 = i * n_chunks
     lane_u = jax.lax.broadcasted_iota(jnp.int32, (1, Ux), 1)
 
-    def load_shifted_row(c, s, start):
-        """epi[c, s, start : start + Ux] via 256-lane window rotates.
+    def load_shifted_rows(c, s, start):
+        """(epi[c, s, start:start+Ux], epi[c, s, start+1:start+1+Ux]).
 
-        Mosaic's dynamic lane rotate mis-rotates 3-vreg (384-lane)
-        windows (verified on v5e), so each 128-lane output chunk rotates
-        its own 2-vreg window — always width 256, rotate in [0, 127].
+        256-lane window rotates (Mosaic's dynamic lane rotate mis-rotates
+        3-vreg/384-lane windows — verified on v5e — so each 128-lane
+        output chunk rotates its own 2-vreg window, rotate in [0, 127]).
+        The +1 row is a STATIC single-lane rotate of the same rotated
+        window — valid because rem + 128 <= 255 keeps lanes [1:129]
+        un-wrapped — which halves the slices and dynamic rotates.
         """
         rem = jax.lax.rem(start, 128)
         base = start - rem
-        parts = []
+        parts_a, parts_b = [], []
         for j in range(Ux // 128):
             win = epi_ref[0, c, pl.ds(s, 1),
                           pl.ds(pl.multiple_of(base + j * 128, 128), 256)]
-            parts.append(pltpu.roll(win, -rem, axis=1)[:, :128])
-        return jnp.concatenate(parts, axis=1)
+            parts_a.append(pltpu.roll(win, -rem, axis=1)[:, :128])
+            parts_b.append(pltpu.roll(win, -(rem + 1), axis=1)[:, :128])
+        return (jnp.concatenate(parts_a, axis=1),
+                jnp.concatenate(parts_b, axis=1))
 
-    def sweep_one_d(d, carry):
-        best_score, best_depth, score_sum, rbar, kbest = carry
-        dval = dvec_ref[0, d]
+    def gather_d(dval):
+        """Sheared gather of the full row for one candidate d.
 
-        # ---- sheared gather ------------------------------------------
-        # Mosaic only allows 128-aligned dynamic slices on the lane dim:
-        # load an aligned window around the offset and lane-rotate the
-        # residue into place (tpu dynamic rotate).
+        Mosaic only allows 128-aligned dynamic slices on the lane dim:
+        load an aligned window around the offset and lane-rotate the
+        residue into place (tpu dynamic rotate).
+        """
         def gather_s(s, _):
             shift = (s_hat - s).astype(DTYPE) * dval * DTYPE(slope_factor)
             i0 = jnp.floor(shift)
@@ -158,8 +171,7 @@ def _sweep_row_body(s_hat_ref, dvec_ref, epi_ref,
             ok_row = jnp.logical_and(ok_row, s < S)
             valid_ref[pl.ds(s, 1), :] = ok_row.astype(DTYPE)
             for c in range(C):
-                row_a = load_shifted_row(c, s, start)
-                row_b = load_shifted_row(c, s, start + 1)
+                row_a, row_b = load_shifted_rows(c, s, start)
                 blend = (DTYPE(1.0) - t) * row_a + t * row_b
                 shear_ref[c, pl.ds(s, 1), :] = jnp.where(
                     t == 0, row_a, blend)
@@ -167,80 +179,165 @@ def _sweep_row_body(s_hat_ref, dvec_ref, epi_ref,
 
         jax.lax.fori_loop(0, S_tot, gather_s, 0)
 
-        validf = valid_ref[:, :]                         # [S_tot, Ux]
-        r0 = shear_ref[:, :, :] * validf                 # signed, 0-filled
-        rpos = jnp.maximum(r0, 0.0)                      # un-nanified
-        card = jnp.sum(validf, axis=0, keepdims=True)    # [1, Ux]
+    def ms_score(shear, validf, use_while, rbar0):
+        """Mean shift + score on a [S_tot, W] tile.
 
-        # r_bar init: the s_hat row (shift 0 there, core.hpp:577);
-        # read through the ref (dynamic scalar index on a ref is cheap).
-        rbar0 = jnp.concatenate(
-            [shear_ref[c, pl.ds(s_hat, 1), :] for c in range(C)], axis=0)
+        ``use_while`` picks the early-exit while (worth it row-wide,
+        where the scalar convergence check amortizes over the full
+        width) vs a fixed-count fori (better per-chunk: no per-
+        iteration scalar reduce/branch serialization).  Extra
+        iterations after the fixpoint are exact no-ops, so both are
+        bit-identical.
+        """
+        W = validf.shape[1]
+        r0 = [sh * validf for sh in shear]
+        rpos = [jnp.maximum(r, 0.0) for r in r0]
+        card = jnp.sum(validf, axis=0, keepdims=True)
 
-        def ms_iter(_, state):
-            rbar_d, _k_last = state
-            sq = jnp.zeros((S_tot, Ux), DTYPE)
+        def ms_iter(state):
+            rbar_d, _k = state
+            sq = jnp.zeros((S_tot, W), DTYPE)
             for c in range(C):
                 diff = r0[c] - rbar_d[c:c + 1, :]
                 sq = sq + diff * diff
-            k = jnp.maximum(1.0 - a * sq, 0.0) * validf  # [S_tot, Ux]
-            sum_k = jnp.sum(k, axis=0, keepdims=True)    # [1, Ux]
+            k = jnp.maximum(1.0 - a * sq, 0.0) * validf
+            sum_k = jnp.sum(k, axis=0, keepdims=True)
             nums = [jnp.sum(rpos[c] * k, axis=0, keepdims=True)
                     for c in range(C)]
             new_rbar = jnp.concatenate([
-                jnp.where(sum_k > 0, n / sum_k, 0.0) for n in nums],
-                axis=0)                                  # [C, Ux]
+                jnp.where(sum_k > 0, n / sum_k, 0.0)
+                for n in nums], axis=0)
             return new_rbar, k
 
-        # early exit when r_bar is stationary: further iterations are
-        # exact no-ops (K, sums and r_bar reproduce themselves), so the
-        # result is bit-identical to the fixed-count loop.
-        k0 = jnp.zeros((S_tot, Ux), DTYPE)
+        k0 = jnp.zeros((S_tot, W), DTYPE)
+        if use_while:
+            def ms_cond(state):
+                it, _rb, _k, done = state
+                return jnp.logical_and(it < iters,
+                                       jnp.logical_not(done))
 
-        def ms_cond(state):
-            i, _rb, _k, done = state
-            return jnp.logical_and(i < iters, jnp.logical_not(done))
+            def ms_step(state):
+                it, rb, k, _done = state
+                new_rb, new_k = ms_iter((rb, k))
+                done = jnp.all(new_rb == rb)
+                return it + 1, new_rb, new_k, done
 
-        def ms_step(state):
-            i, rb, k, _done = state
-            new_rb, new_k = ms_iter(i, (rb, k))
-            done = jnp.all(new_rb == rb)
-            return i + 1, new_rb, new_k, done
-
-        _, rbar_d, k_last, _ = jax.lax.while_loop(
-            ms_cond, ms_step, (jnp.int32(0), rbar0, k0, False))
+            _, rbar_d, k_last, _ = jax.lax.while_loop(
+                ms_cond, ms_step, (jnp.int32(0), rbar0, k0, False))
+        else:
+            rbar_d, k_last = jax.lax.fori_loop(
+                0, iters, lambda _, st: ms_iter(st), (rbar0, k0))
 
         # score from the LAST iteration's kernel values (core.hpp:612-622)
         sum_k = jnp.sum(k_last, axis=0, keepdims=True)
-        score = jnp.where(card > 0, sum_k / card, 0.0)   # [1, Ux]
+        score = jnp.where(card > 0, sum_k / card, 0.0)
+        return score, rbar_d, k_last
 
-        better = score > best_score                      # [1, Ux]
-        best_score = jnp.where(better, score, best_score)
-        best_depth = jnp.where(better, dval, best_depth)
-        rbar = jnp.where(better, rbar_d, rbar)
+    # ---- adaptive granularity (decided once per row: flags are pass
+    # constants).  Fully-active rows run the ORIGINAL row-wide d-loop
+    # with register-carried argmax state; partially-active rows run
+    # chunk-gated with the state in the output refs, so claimed 128-lane
+    # chunks cost nothing — late passes have most chunks fully claimed
+    # (the dense analog of the reference's findNonZero sparsity).
+    n_act = flags_ref[row0]
+    for j in range(1, n_chunks):
+        n_act = n_act + flags_ref[row0 + j]
+    all_active = n_act == n_chunks
+
+    @pl.when(all_active)
+    def _row_wide():
+        def sweep_one_d(d, carry):
+            best_score, best_depth, score_sum, rbar, kbest = carry
+            dval = dvec_ref[0, d]
+            gather_d(dval)
+            validf = valid_ref[:, :]
+            shear = [shear_ref[c, :, :] for c in range(C)]
+            rbar0 = jnp.concatenate(
+                [shear_ref[c, pl.ds(s_hat, 1), :] for c in range(C)],
+                axis=0)                                  # [C, Ux]
+            score, rbar_d, k_last = ms_score(shear, validf, True, rbar0)
+
+            better = score > best_score                  # [1, Ux]
+            best_score = jnp.where(better, score, best_score)
+            best_depth = jnp.where(better, dval, best_depth)
+            rbar = jnp.where(better, rbar_d, rbar)
+            if with_k_best:
+                kbest = jnp.where(better, k_last, kbest)
+            score_sum = score_sum + score
+            return best_score, best_depth, score_sum, rbar, kbest
+
+        kbest_init = jnp.zeros((S_tot, Ux) if with_k_best else (8, 128),
+                               DTYPE)
+        init = (
+            jnp.full((1, Ux), -1.0, DTYPE),
+            jnp.zeros((1, Ux), DTYPE),
+            jnp.zeros((1, Ux), DTYPE),
+            jnp.zeros((C, Ux), DTYPE),
+            kbest_init,
+        )
+        best_score, best_depth, score_sum, rbar, kbest = jax.lax.fori_loop(
+            0, dim_d, sweep_one_d, init)
+
+        best_score_ref[0, :, :] = best_score
+        score_sum_ref[0, :, :] = score_sum
+        best_depth_ref[0, :, :] = best_depth
+        rbar_ref[0, :, :] = rbar
         if with_k_best:
-            kbest = jnp.where(better, k_last, kbest)
-        score_sum = score_sum + score
-        return best_score, best_depth, score_sum, rbar, kbest
+            kbest_ref[0, :, :] = kbest
 
-    kbest_init = jnp.zeros((S_tot, Ux) if with_k_best else (8, 128),
-                           DTYPE)
-    init = (
-        jnp.full((1, Ux), -1.0, DTYPE),
-        jnp.zeros((1, Ux), DTYPE),
-        jnp.zeros((1, Ux), DTYPE),
-        jnp.zeros((C, Ux), DTYPE),
-        kbest_init,
-    )
-    best_score, best_depth, score_sum, rbar, kbest = jax.lax.fori_loop(
-        0, dim_d, sweep_one_d, init)
+    @pl.when(jnp.logical_not(all_active))
+    def _chunked():
+        # argmax state lives in the OUTPUT refs so per-chunk updates
+        # under pl.when are plain read-modify-writes.
+        best_score_ref[0, :, :] = jnp.full((1, Ux), -1.0, DTYPE)
+        score_sum_ref[0, :, :] = jnp.zeros((1, Ux), DTYPE)
+        best_depth_ref[0, :, :] = jnp.zeros((1, Ux), DTYPE)
+        rbar_ref[0, :, :] = jnp.zeros((C, Ux), DTYPE)
+        if with_k_best:
+            kbest_ref[0, :, :] = jnp.zeros((S_tot, Ux), DTYPE)
 
-    best_score_ref[0, :, :] = best_score
-    score_sum_ref[0, :, :] = score_sum
-    best_depth_ref[0, :, :] = best_depth
-    rbar_ref[0, :, :] = rbar
-    if with_k_best:
-        kbest_ref[0, :, :] = kbest
+        def sweep_one_d(d, _):
+            dval = dvec_ref[0, d]
+            gather_d(dval)
+
+            def ms_chunk(j, _):
+                @pl.when(flags_ref[row0 + j] != 0)
+                def _chunk():
+                    sl = pl.ds(pl.multiple_of(j * 128, 128), 128)
+                    validf = valid_ref[:, sl]            # [S_tot, 128]
+                    shear = [shear_ref[c, :, sl] for c in range(C)]
+                    # r_bar init: the s_hat row via an s-iota select
+                    # (exact — single nonzero term; Mosaic can't mix a
+                    # dynamic sublane index with a dynamic lane slice).
+                    at_hat = (jax.lax.broadcasted_iota(
+                        jnp.int32, (S_tot, 1), 0) == s_hat).astype(DTYPE)
+                    rbar0 = jnp.concatenate(
+                        [jnp.sum(sh * at_hat, axis=0, keepdims=True)
+                         for sh in shear], axis=0)       # [C, 128]
+                    score, rbar_d, k_last = ms_score(shear, validf, False,
+                                                     rbar0)
+
+                    prev = best_score_ref[0, 0:1, sl]
+                    better = score > prev
+                    best_score_ref[0, 0:1, sl] = jnp.where(
+                        better, score, prev)
+                    prev_d = best_depth_ref[0, 0:1, sl]
+                    best_depth_ref[0, 0:1, sl] = jnp.where(
+                        better, dval, prev_d)
+                    prev_r = rbar_ref[0, :, sl]
+                    rbar_ref[0, :, sl] = jnp.where(better, rbar_d, prev_r)
+                    if with_k_best:
+                        prev_k = kbest_ref[0, :, sl]
+                        kbest_ref[0, :, sl] = jnp.where(
+                            better, k_last, prev_k)
+                    score_sum_ref[0, 0:1, sl] = \
+                        score_sum_ref[0, 0:1, sl] + score
+                return 0
+
+            jax.lax.fori_loop(0, n_chunks, ms_chunk, 0)
+            return 0
+
+        jax.lax.fori_loop(0, dim_d, sweep_one_d, 0)
 
 
 def prepare_padded_epis(epis_v_s_u_c, dmin: float, dmax: float,
@@ -284,9 +381,11 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
       s_hat: traced int32.
       padded: optional precomputed (padded_epis, PAD, s_pad) from
         :func:`prepare_padded_epis` to avoid repadding every pass.
-      row_active: optional ``[V]`` bool/int; rows with 0 skip the sweep
-        entirely (their outputs are garbage — callers must merge through
-        an active-pixel mask, which the drivers do).
+      row_active: optional ``[V]`` (per-row) or ``[V, ceil(U/128)]``
+        (per-chunk) bool/int; inactive rows skip the sweep entirely and
+        inactive chunks skip the mean-shift/score (their outputs are
+        garbage — callers must merge through an active-pixel mask,
+        which the drivers do).
     """
     if params.interpolation != "linear":
         raise NotImplementedError(
@@ -331,10 +430,15 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
                      memory_space=pltpu.VMEM),
     ]
 
+    n_chunks = Ux // 128
     if row_active is None:
-        flags = jnp.ones((V,), jnp.int32)
+        flags = jnp.ones((V, n_chunks), jnp.int32)
     else:
         flags = row_active.astype(jnp.int32)
+        if flags.ndim == 1:
+            flags = jnp.broadcast_to(flags[:, None], (V, n_chunks))
+    row_any = flags.max(axis=1)
+    flags = flags.reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -357,7 +461,7 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(flags, make_fetch_remap(flags), s_hat_arr,
+    )(flags, make_fetch_remap(row_any), s_hat_arr,
       jnp.asarray(dvec), epi_pad)
 
     if with_k_best:

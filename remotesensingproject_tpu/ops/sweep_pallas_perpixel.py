@@ -42,7 +42,7 @@ from .sweep_pallas import (_round_up, make_fetch_remap,
 
 def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
                      best_score_ref, score_sum_ref, best_depth_ref,
-                     rbar_ref, kbest_ref, *,
+                     rbar_ref, kbest_ref, shear_scr, reb_scr, *,
                      S: int, U: int, C: int, PAD: int, dim_d: int,
                      s_pad: int, slope_factor: float, h: float,
                      iters: int, with_k_best: bool, U_tot: int):
@@ -56,7 +56,7 @@ def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref, epi_r
     def _run():
         _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
                        best_score_ref, score_sum_ref, best_depth_ref,
-                       rbar_ref, kbest_ref,
+                       rbar_ref, kbest_ref, shear_scr, reb_scr,
                        S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
                        slope_factor=slope_factor, h=h, iters=iters,
                        with_k_best=with_k_best, U_tot=U_tot)
@@ -64,7 +64,7 @@ def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref, epi_r
 
 def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
                    best_score_ref, score_sum_ref, best_depth_ref,
-                   rbar_ref, kbest_ref, *,
+                   rbar_ref, kbest_ref, shear_scr, reb_scr, *,
                    S: int, U: int, C: int, PAD: int, dim_d: int,
                    s_pad: int, slope_factor: float, h: float,
                    iters: int, with_k_best: bool, U_tot: int):
@@ -103,38 +103,105 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
 
         # window coordinates: row block at offset w reads lane l from
         # E_pad[s, w + l]; position p matches iteration k when
-        # p - l - w0 == k.  Invalid pairs collapse onto the min valid
+        # p - l - base == k.  Invalid pairs collapse onto the min valid
         # relative offset so they never widen the scan.
         pos = fi_i + PAD                                  # [S_tot, TU]
         rel = pos - lane                                  # [S_tot, TU]
         BIG = jnp.int32(2 ** 30)
-        w0 = jnp.min(jnp.where(ok, rel, BIG))
-        w0 = jnp.minimum(w0, jnp.int32(PAD + U))          # all-invalid
-        w0 = jnp.maximum(w0, jnp.int32(0))
-        krel = jnp.where(ok, rel, w0) - w0                # [S_tot, TU]
-        kcount = jnp.max(krel) + 2
 
-        def kbody(k, vab):
-            va, vb = vab
-            start = w0 + k
-            rem = jax.lax.rem(start, 128)
-            base = pl.multiple_of(start - rem, 128)
-            rows = []
-            for c in range(C):
-                win = epi_ref[0, c, pl.ds(0, S_tot), pl.ds(base, 256)]
-                rows.append(pltpu.roll(win, -rem, axis=1)[:, :TU])
-            hit_a = krel == k
-            hit_b = krel == k - 1
-            va = tuple(va_c + jnp.where(hit_a, r, 0.0)
-                       for va_c, r in zip(va, rows))
-            vb = tuple(vb_c + jnp.where(hit_b, r, 0.0)
-                       for vb_c, r in zip(vb, rows))
-            return va, vb
+        # ---- block rebase: scan length = local position spread -------
+        # Rows are re-based in 8-row blocks by the block's own minimum
+        # position, so the cross-s drift ds*d*slope contributes at most
+        # one block's worth (8*|d|*slope) to the scan length instead of
+        # the whole S span.  The block loop is a STATIC unroll — all
+        # sublane offsets static, no per-s scalar loop (that shape is
+        # loop-overhead-bound on the TPU scalar core).  Tiles whose
+        # local spread still exceeds the scratch window (wildly mixed
+        # bounds) fall back to the global-window scan.
+        n_blk = S_tot // 8
+        rel_ok = jnp.where(ok, rel, BIG)
+        blockmins = [jnp.clip(jnp.min(rel_ok[b * 8:(b + 1) * 8, :]),
+                              0, U_tot - 384)
+                     for b in range(n_blk)]               # scalars
+        base_col = jnp.concatenate(
+            [jnp.full((8, 1), bm, jnp.int32) for bm in blockmins],
+            axis=0)                                       # [S_tot, 1]
+        rel2 = jnp.where(ok, rel - base_col, 0)           # [S_tot, TU]
+        dev = jnp.max(rel2)
+        use_rebase = dev <= 126
 
         zeros = tuple(jnp.zeros((S_tot, TU), DTYPE) for _ in range(C))
-        va, vb = jax.lax.fori_loop(0, kcount, kbody, (zeros, zeros))
-        shear = [(DTYPE(1.0) - t) * va_c + t * vb_c
-                 for va_c, vb_c in zip(va, vb)]           # C x [S_tot, TU]
+
+        @pl.when(use_rebase)
+        def _rebased():
+            for b in range(n_blk):
+                bm = blockmins[b]
+                rem = jax.lax.rem(bm, 128)
+                base = pl.multiple_of(bm - rem, 128)
+                for c in range(C):
+                    chunks = []
+                    for jj in range(2):
+                        win = epi_ref[0, c, pl.ds(b * 8, 8),
+                                      pl.ds(pl.multiple_of(
+                                          base + jj * 128, 128), 256)]
+                        chunks.append(
+                            pltpu.roll(win, -rem, axis=1)[:, :128])
+                    # full-width store at a static sublane offset; lanes
+                    # [256, 384) are never selected by the scan — pad
+                    # with a dummy chunk.
+                    reb_scr[c, b * 8:(b + 1) * 8, :] = jnp.concatenate(
+                        chunks + [chunks[0]], axis=1)
+
+            def kbody(k, vab):
+                va, vb = vab
+                rem = jax.lax.rem(k, 128)
+                base = pl.multiple_of(k - rem, 128)
+                rows = []
+                for c in range(C):
+                    win = reb_scr[c, pl.ds(0, S_tot), pl.ds(base, 256)]
+                    rows.append(pltpu.roll(win, -rem, axis=1)[:, :TU])
+                hit_a = rel2 == k
+                hit_b = rel2 == k - 1
+                va = tuple(va_c + jnp.where(hit_a, r, 0.0)
+                           for va_c, r in zip(va, rows))
+                vb = tuple(vb_c + jnp.where(hit_b, r, 0.0)
+                           for vb_c, r in zip(vb, rows))
+                return va, vb
+
+            va, vb = jax.lax.fori_loop(0, dev + 2, kbody, (zeros, zeros))
+            for c in range(C):
+                shear_scr[c, :, :] = (DTYPE(1.0) - t) * va[c] + t * vb[c]
+
+        @pl.when(jnp.logical_not(use_rebase))
+        def _global_window():
+            w0 = jnp.min(jnp.where(ok, rel, BIG))
+            w0 = jnp.minimum(w0, jnp.int32(PAD + U))      # all-invalid
+            w0 = jnp.maximum(w0, jnp.int32(0))
+            krel = jnp.where(ok, rel, w0) - w0            # [S_tot, TU]
+            kcount = jnp.max(krel) + 2
+
+            def kbody(k, vab):
+                va, vb = vab
+                start = w0 + k
+                rem = jax.lax.rem(start, 128)
+                base = pl.multiple_of(start - rem, 128)
+                rows = []
+                for c in range(C):
+                    win = epi_ref[0, c, pl.ds(0, S_tot), pl.ds(base, 256)]
+                    rows.append(pltpu.roll(win, -rem, axis=1)[:, :TU])
+                hit_a = krel == k
+                hit_b = krel == k - 1
+                va = tuple(va_c + jnp.where(hit_a, r, 0.0)
+                           for va_c, r in zip(va, rows))
+                vb = tuple(vb_c + jnp.where(hit_b, r, 0.0)
+                           for vb_c, r in zip(vb, rows))
+                return va, vb
+
+            va, vb = jax.lax.fori_loop(0, kcount, kbody, (zeros, zeros))
+            for c in range(C):
+                shear_scr[c, :, :] = (DTYPE(1.0) - t) * va[c] + t * vb[c]
+
+        shear = [shear_scr[c, :, :] for c in range(C)]    # C x [S_tot, TU]
 
         r0 = [sh * validf for sh in shear]
         rpos = [jnp.maximum(r, 0.0) for r in r0]
@@ -332,6 +399,8 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((C, S_tot, TU), DTYPE),
+                        pltpu.VMEM((C, S_tot, 384), DTYPE)],
     )
 
     best_score, score_sum, best_depth, rbar, kbest = pl.pallas_call(

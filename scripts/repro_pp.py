@@ -28,7 +28,21 @@ rng = np.random.default_rng(0)
 epis = rng.random((V, S, U, C), dtype=np.float32)
 
 center = rng.uniform(gmin, gmax, (V, U)).astype(np.float32)
-if mode == "uniform":
+if mode == "smooth":
+    # spatially smooth refined bounds — the realistic coarse-level case
+    base = rng.uniform(gmin + 0.3, gmax - 0.3, (V // 16 + 2, U // 16 + 2))
+    import numpy as _np
+    yy = _np.linspace(0, base.shape[0] - 1.01, V)
+    xx = _np.linspace(0, base.shape[1] - 1.01, U)
+    f0 = _np.floor(yy).astype(int); fy = (yy - f0)[:, None]
+    g0 = _np.floor(xx).astype(int); gx = (xx - g0)[None, :]
+    sm = ((1 - fy) * (1 - gx) * base[f0][:, g0]
+          + (1 - fy) * gx * base[f0][:, g0 + 1]
+          + fy * (1 - gx) * base[f0 + 1][:, g0]
+          + fy * gx * base[f0 + 1][:, g0 + 1]).astype(np.float32)
+    dmin = np.clip(sm - 0.25, gmin, gmax)
+    dmax = np.clip(sm + 0.25, gmin, gmax)
+elif mode == "uniform":
     dmin = np.full((V, U), gmin, np.float32)
     dmax = np.full((V, U), gmax, np.float32)
 elif mode == "tight":

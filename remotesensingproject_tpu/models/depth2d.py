@@ -120,6 +120,8 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         state.claim, active, s_hat, 0)
 
     with_k = params.score_version == "line"
+    # off-TPU, pallas kernels run in interpret mode (CPU-testable paths)
+    interp = jax.default_backend() != "tpu"
     padded = None
     if pad_static is not None:
         padded = (epis_padded, pad_static[0], pad_static[1])
@@ -130,16 +132,68 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         chunk_flags = jnp.any(act_pad.reshape(V, n_tiles, 128), axis=2)
         res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
                                 s_hat, params, with_k_best=with_k,
-                                padded=padded, row_active=chunk_flags)
+                                padded=padded, row_active=chunk_flags,
+                                interpret=interp)
     elif use_pallas and params.interpolation == "linear":
+        from ..ops.sweep_pallas import sweep_pile_pallas
         from ..ops.sweep_pallas_perpixel import sweep_pile_pallas_perpixel
         n_tiles = -(-U // 128)
-        act_pad = jnp.pad(active, ((0, 0), (0, n_tiles * 128 - U)))
-        tile_flags = jnp.any(
-            act_pad.reshape(V, n_tiles, 128), axis=2)
-        res = sweep_pile_pallas_perpixel(
-            epis, dmin_v_u, dmax_v_u, d_bounds, dim_d, s_hat, params,
-            with_k_best=with_k, padded=padded, tile_active=tile_flags)
+
+        def chunkflags(m):
+            mp = jnp.pad(m, ((0, 0), (0, n_tiles * 128 - U)))
+            return jnp.any(mp.reshape(V, n_tiles, 128), axis=2)
+
+        # Split by refinement: pixels whose bounds are still the ctor
+        # constants have EXACTLY the uniform candidate grid (same f32
+        # arithmetic), so the cheap uniform-shift kernel computes them;
+        # the per-pixel kernel handles only refined pixels, with
+        # unrefined lanes' bounds replaced by a forward-filled refined
+        # neighbor so a few scattered full-range pixels don't blow a
+        # tile's position spread into the slow fallback path (their
+        # results are discarded by the merge mask).
+        unref = (dmin_v_u == DTYPE(d_bounds[0])) & \
+            (dmax_v_u == DTYPE(d_bounds[1]))
+        act_u = active & unref
+        act_p = active & ~unref
+
+        res_u = sweep_pile_pallas(
+            epis, d_bounds[0], d_bounds[1], dim_d, s_hat, params,
+            with_k_best=with_k, padded=padded,
+            row_active=chunkflags(act_u), interpret=interp)
+
+        def smear_fill(vals, keep):
+            """Nearest-kept-lane fill along u (log-doubling shifts)."""
+            v, k = vals, keep
+            shift = 1
+            while shift < U:  # forward fill
+                v = jnp.where(k, v, jnp.roll(v, shift, axis=1))
+                k = k | jnp.roll(k, shift, axis=1)
+                shift *= 2
+            v2, k2 = v, k
+            shift = 1
+            while shift < U:  # backward fill for leading gaps
+                v2 = jnp.where(k2, v2, jnp.roll(v2, -shift, axis=1))
+                k2 = k2 | jnp.roll(k2, -shift, axis=1)
+                shift *= 2
+            return jnp.where(k2, v2, vals)
+
+        keep = ~unref
+        dmin_fill = smear_fill(dmin_v_u, keep)
+        dmax_fill = smear_fill(dmax_v_u, keep)
+        res_p = sweep_pile_pallas_perpixel(
+            epis, dmin_fill, dmax_fill, d_bounds, dim_d, s_hat, params,
+            with_k_best=with_k, padded=padded,
+            tile_active=chunkflags(act_p), interpret=interp)
+
+        from ..ops.sweep import SweepResult
+        res = SweepResult(
+            best_score=jnp.where(unref, res_u.best_score, res_p.best_score),
+            score_mean=jnp.where(unref, res_u.score_mean, res_p.score_mean),
+            best_depth=jnp.where(unref, res_u.best_depth, res_p.best_depth),
+            rbar=jnp.where(unref[..., None], res_u.rbar, res_p.rbar),
+            k_best=jnp.where(unref[:, None, :], res_u.k_best,
+                             res_p.k_best),
+        )
     else:
         res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params,
                          with_k_best=with_k)

@@ -398,7 +398,19 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
     S_tot = S + s_pad
     U_tot = epi_pad.shape[-1]
 
-    dvec = candidate_disparities(dmin, dmax, dim_d)[None, :]  # (1, D)
+    # Candidate grid computed ON DEVICE with the exact expression (and
+    # barriers) of the XLA path (sweep.py) and the per-pixel kernel, so
+    # every engine produces bit-identical candidate VALUES per backend.
+    # (A host-numpy grid is correctly-rounded where XLA's division is
+    # reciprocal-based — one ulp apart on some grids, which would make
+    # mixed-engine results inconsistent; see candidate_disparities for
+    # the reference-bit-exact host version used by the oracle tests.)
+    d_idx = jnp.arange(dim_d, dtype=DTYPE)
+    rng_ = DTYPE(np.float32(np.float32(dmax) - np.float32(dmin)))
+    num = jax.lax.optimization_barrier(d_idx * rng_)
+    den = jax.lax.optimization_barrier(jnp.asarray(DTYPE(dim_d - 1)))
+    dvec = (DTYPE(np.float32(dmin))
+            + jax.lax.optimization_barrier(num / den))[None, :]
     s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
 
     Ux = _round_up(U, 128)
@@ -461,8 +473,7 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(flags, make_fetch_remap(row_any), s_hat_arr,
-      jnp.asarray(dvec), epi_pad)
+    )(flags, make_fetch_remap(row_any), s_hat_arr, dvec, epi_pad)
 
     if with_k_best:
         k_best = kbest[:, :S, :U]

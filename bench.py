@@ -96,7 +96,9 @@ def main():
     with contextlib.redirect_stdout(sys.stderr):
         ftc = FineToCoarse(vol, dmin, dmax, D, use_pallas=use_pallas,
                            verbose=True)
-        ftc.run()
+        # optional resumable run (BENCH_CKPT_DIR=/path): saves each
+        # completed pyramid level; crashed runs restart mid-pyramid
+        ftc.run(ckpt_dir=os.environ.get("BENCH_CKPT_DIR") or None)
         fused, validity = ftc.get_results()
         fused = np.asarray(fused)  # host sync (block_until_ready is
         # unreliable over the remote-device tunnel)

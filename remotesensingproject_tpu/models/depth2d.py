@@ -95,7 +95,8 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
              state: Depth2DState,
              s_hat, *, dim_d: int, params: DepthParams,
              d_bounds: Tuple[float, float], use_pallas: bool,
-             uniform_bounds: bool, pad_static=None) -> Depth2DState:
+             uniform_bounds: bool, pad_static=None,
+             coarse_mode: str = "tile") -> Depth2DState:
     """One center-outward pass (sweep + median + propagation), jittable."""
     V, S, U, C = epis.shape
     s_hat = jnp.asarray(s_hat, jnp.int32)
@@ -135,65 +136,52 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
                                 padded=padded, row_active=chunk_flags,
                                 interpret=interp)
     elif use_pallas and params.interpolation == "linear":
-        from ..ops.sweep_pallas import sweep_pile_pallas
         from ..ops.sweep_pallas_perpixel import sweep_pile_pallas_perpixel
         n_tiles = -(-U // 128)
+        Upad = n_tiles * 128
 
         def chunkflags(m):
-            mp = jnp.pad(m, ((0, 0), (0, n_tiles * 128 - U)))
+            mp = jnp.pad(m, ((0, 0), (0, Upad - U)))
             return jnp.any(mp.reshape(V, n_tiles, 128), axis=2)
 
-        # Split by refinement: pixels whose bounds are still the ctor
-        # constants have EXACTLY the uniform candidate grid (same f32
-        # arithmetic), so the cheap uniform-shift kernel computes them;
-        # the per-pixel kernel handles only refined pixels, with
-        # unrefined lanes' bounds replaced by a forward-filled refined
-        # neighbor so a few scattered full-range pixels don't blow a
-        # tile's position spread into the slow fallback path (their
-        # results are discarded by the merge mask).
-        unref = (dmin_v_u == DTYPE(d_bounds[0])) & \
-            (dmax_v_u == DTYPE(d_bounds[1]))
-        act_u = active & unref
-        act_p = active & ~unref
+        # Tile-quantized coarse sweep: the candidate GRID bounds are
+        # shared per 128-lane tile (min/max of the active pixels'
+        # refined bounds), which collapses the per-pixel kernel's
+        # gather-scan window to the 8-row block drift — near the
+        # uniform kernel's cost.  Each pixel's RANGE restriction is
+        # preserved by masking candidates outside its own
+        # [dmin - step, dmax + step] from the argmax (reference
+        # semantics: only candidates inside the refined range compete,
+        # rslf_fine_to_coarse.hpp:202-294 — the grid STEP is the tile's,
+        # <= (gmax - gmin)/(dim_d - 1), far below the 0.5 px budget).
+        # Fully-unrefined tiles quantize to the ctor constants and
+        # reproduce the uniform grid bit-exactly.
+        inf = DTYPE(jnp.inf)
 
-        res_u = sweep_pile_pallas(
-            epis, d_bounds[0], d_bounds[1], dim_d, s_hat, params,
-            with_k_best=with_k, padded=padded,
-            row_active=chunkflags(act_u), interpret=interp)
+        def tile_minmax(x, reduce_min):
+            xp = jnp.pad(x, ((0, 0), (0, Upad - U)),
+                         constant_values=(inf if reduce_min else -inf))
+            act = jnp.pad(active, ((0, 0), (0, Upad - U)))
+            xt = jnp.where(act, xp, inf if reduce_min else -inf)
+            xt = xt.reshape(V, n_tiles, 128)
+            red = jnp.min(xt, axis=2) if reduce_min else jnp.max(xt, axis=2)
+            fallback = DTYPE(d_bounds[0] if reduce_min else d_bounds[1])
+            red = jnp.where(jnp.isfinite(red), red, fallback)
+            return jnp.repeat(red, 128, axis=1)[:, :U]
 
-        def smear_fill(vals, keep):
-            """Nearest-kept-lane fill along u (log-doubling shifts)."""
-            v, k = vals, keep
-            shift = 1
-            while shift < U:  # forward fill
-                v = jnp.where(k, v, jnp.roll(v, shift, axis=1))
-                k = k | jnp.roll(k, shift, axis=1)
-                shift *= 2
-            v2, k2 = v, k
-            shift = 1
-            while shift < U:  # backward fill for leading gaps
-                v2 = jnp.where(k2, v2, jnp.roll(v2, -shift, axis=1))
-                k2 = k2 | jnp.roll(k2, -shift, axis=1)
-                shift *= 2
-            return jnp.where(k2, v2, vals)
-
-        keep = ~unref
-        dmin_fill = smear_fill(dmin_v_u, keep)
-        dmax_fill = smear_fill(dmax_v_u, keep)
-        res_p = sweep_pile_pallas_perpixel(
-            epis, dmin_fill, dmax_fill, d_bounds, dim_d, s_hat, params,
-            with_k_best=with_k, padded=padded,
-            tile_active=chunkflags(act_p), interpret=interp)
-
-        from ..ops.sweep import SweepResult
-        res = SweepResult(
-            best_score=jnp.where(unref, res_u.best_score, res_p.best_score),
-            score_mean=jnp.where(unref, res_u.score_mean, res_p.score_mean),
-            best_depth=jnp.where(unref, res_u.best_depth, res_p.best_depth),
-            rbar=jnp.where(unref[..., None], res_u.rbar, res_p.rbar),
-            k_best=jnp.where(unref[:, None, :], res_u.k_best,
-                             res_p.k_best),
-        )
+        if coarse_mode == "tile":
+            qmin = tile_minmax(dmin_v_u, True)
+            qmax = tile_minmax(dmax_v_u, False)
+            res = sweep_pile_pallas_perpixel(
+                epis, qmin, qmax, d_bounds, dim_d, s_hat, params,
+                with_k_best=with_k, padded=padded,
+                tile_active=chunkflags(active), interpret=interp,
+                pdmin_v_u=dmin_v_u, pdmax_v_u=dmax_v_u)
+        else:  # "pixel": the reference's exact per-pixel grids
+            res = sweep_pile_pallas_perpixel(
+                epis, dmin_v_u, dmax_v_u, d_bounds, dim_d, s_hat, params,
+                with_k_best=with_k, padded=padded,
+                tile_active=chunkflags(active), interpret=interp)
     else:
         res = sweep_pile(epis, dmin_v_u, dmax_v_u, dim_d, s_hat, params,
                          with_k_best=with_k)
@@ -281,7 +269,8 @@ class Depth2DComputer:
                  verbose: bool = False,
                  use_pallas: Optional[bool] = None,
                  early_stop: bool = True,
-                 pass_chunk: int = 8):
+                 pass_chunk: int = 8,
+                 coarse_mode: str = "tile"):
         epis = jnp.asarray(epis_v_s_u_c)
         if epis.ndim == 3:
             epis = epis[..., None]
@@ -294,6 +283,9 @@ class Depth2DComputer:
         self.verbose = verbose
         self.early_stop = early_stop
         self.pass_chunk = max(1, pass_chunk)
+        # "tile": tile-quantized candidate grids at bounds-edited levels
+        # (fast TPU path); "pixel": the reference's exact per-pixel grids
+        self.coarse_mode = coarse_mode
         self.accept_all = False
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -353,7 +345,8 @@ class Depth2DComputer:
                 d_bounds=(self.dmin, self.dmax),
                 use_pallas=self.use_pallas,
                 uniform_bounds=not self._bounds_edited,
-                pad_static=pad_static),
+                pad_static=pad_static,
+                coarse_mode=self.coarse_mode),
             donate_argnums=(5,))
 
         schedule = center_outward_schedule(S)

@@ -39,7 +39,8 @@ class FineToCoarse:
                  early_stop: bool = True,
                  verbose: bool = False,
                  pass_chunk: int = 8,
-                 mesh=None):
+                 mesh=None,
+                 coarse_mode: str = "tile"):
         epis = jnp.asarray(epis_v_s_u_c)
         if epis.ndim == 3:
             epis = epis[..., None]
@@ -81,7 +82,8 @@ class FineToCoarse:
                 self.computers.append(Depth2DComputer(
                     lvl_input, dmin, dmax, dim_d, epi_scale_factor,
                     lvl_params, verbose=verbose, use_pallas=use_pallas,
-                    early_stop=early_stop, pass_chunk=pass_chunk))
+                    early_stop=early_stop, pass_chunk=pass_chunk,
+                    coarse_mode=coarse_mode))
             self.level_params.append(lvl_params)
             level = ds_fn(level)
             if self.is_uint8:

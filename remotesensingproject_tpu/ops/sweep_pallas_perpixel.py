@@ -40,13 +40,21 @@ from .sweep_pallas import (_round_up, make_fetch_remap,
                            prepare_padded_epis)
 
 
-def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
-                     best_score_ref, score_sum_ref, best_depth_ref,
-                     rbar_ref, kbest_ref, shear_scr, reb_scr, *,
-                     S: int, U: int, C: int, PAD: int, dim_d: int,
+def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref,
+                     *rest, S: int, U: int, C: int, PAD: int, dim_d: int,
                      s_pad: int, slope_factor: float, h: float,
-                     iters: int, with_k_best: bool, U_tot: int):
+                     iters: int, with_k_best: bool, U_tot: int,
+                     masked: bool, interpret: bool):
     """One (v, u-tile) cell: per-pixel-bounds sweep on 128 lanes."""
+    if masked:
+        pdmin_ref, pdmax_ref, epi_ref = rest[:3]
+        rest = rest[3:]
+    else:
+        pdmin_ref = pdmax_ref = None
+        epi_ref = rest[0]
+        rest = rest[1:]
+    (best_score_ref, score_sum_ref, best_depth_ref,
+     rbar_ref, kbest_ref, shear_scr, reb_scr) = rest
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_tiles = pl.num_programs(1)
@@ -54,24 +62,29 @@ def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref, epi_r
 
     @pl.when(run_tile)
     def _run():
-        _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
+        _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, pdmin_ref,
+                       pdmax_ref, epi_ref,
                        best_score_ref, score_sum_ref, best_depth_ref,
                        rbar_ref, kbest_ref, shear_scr, reb_scr,
                        S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
                        slope_factor=slope_factor, h=h, iters=iters,
-                       with_k_best=with_k_best, U_tot=U_tot)
+                       with_k_best=with_k_best, U_tot=U_tot,
+                       interpret=interpret)
 
 
-def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
+def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, pdmin_ref, pdmax_ref,
+                   epi_ref,
                    best_score_ref, score_sum_ref, best_depth_ref,
                    rbar_ref, kbest_ref, shear_scr, reb_scr, *,
                    S: int, U: int, C: int, PAD: int, dim_d: int,
                    s_pad: int, slope_factor: float, h: float,
-                   iters: int, with_k_best: bool, U_tot: int):
+                   iters: int, with_k_best: bool, U_tot: int,
+                   interpret: bool = False):
     TU = 128
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
     S_tot = S + s_pad
+    masked = pdmin_ref is not None
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TU), 1)
     upos_i = j * TU + lane                      # global u (int)
@@ -79,16 +92,39 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
     dmin_u = dmin_ref[0, 0:1, :]                # (1, TU)
     dmax_u = dmax_ref[0, 0:1, :]
     drange = dmax_u - dmin_u
+    if masked:
+        # allowed-candidate interval, padded by one grid step so every
+        # pixel keeps at least one candidate even when its own range
+        # falls between two grid points of the (wider) tile grid
+        tol = drange / DTYPE(dim_d - 1)
+        pd_lo = pdmin_ref[0, 0:1, :] - tol
+        pd_hi = pdmax_ref[0, 0:1, :] + tol
 
     s_col = jax.lax.broadcasted_iota(jnp.int32, (S_tot, 1), 0)
     ds_col = (s_hat - s_col).astype(DTYPE)      # (S_tot, 1)
     s_valid = s_col < S                          # (S_tot, 1)
 
     def sweep_one_d(d, carry):
-        best_score, best_depth, score_sum, rbar, kbest = carry
+        best_score, best_depth, score_sum, n_allowed, rbar, kbest = carry
         # per-lane candidate with the reference's exact f32 op order
-        # (core.hpp:548)
-        delta_u = dmin_u + (d.astype(DTYPE) * drange) / DTYPE(dim_d - 1)
+        # (core.hpp:548); the barriers keep the division a true divide
+        # (not reciprocal-multiply) so candidate VALUES are bit-identical
+        # to the XLA path (sweep.py) and the uniform kernel's dvec
+        # (Mosaic has no optimization_barrier and compiles the divide
+        # literally; interpret mode goes through XLA CPU, which would
+        # rewrite x / c into x * (1 / c) without the barriers.)
+        if interpret:
+            delta_num = jax.lax.optimization_barrier(
+                d.astype(DTYPE) * drange)
+            delta_den = jax.lax.optimization_barrier(
+                jnp.full((1, 1), DTYPE(dim_d - 1), DTYPE))
+            delta_u = dmin_u + jax.lax.optimization_barrier(
+                delta_num / delta_den)
+        else:
+            delta_u = dmin_u + (d.astype(DTYPE) * drange) / DTYPE(
+                dim_d - 1)
+        if masked:
+            allowed = (delta_u >= pd_lo) & (delta_u <= pd_hi)  # (1, TU)
 
         # ---- sheared positions for ALL (s, lane) at once -------------
         # I = (s_hat - s) * d * slope + u, per lane (core.hpp:550-552)
@@ -252,27 +288,39 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, epi_ref,
         score = jnp.where(card > 0, sum_k / card, 0.0)
 
         better = score > best_score
+        if masked:
+            better = better & allowed
+            score_sum = score_sum + jnp.where(allowed, score, 0.0)
+            n_allowed = n_allowed + allowed.astype(DTYPE)
+        else:
+            score_sum = score_sum + score
         best_score = jnp.where(better, score, best_score)
         best_depth = jnp.where(better, delta_u, best_depth)
         rbar = jnp.where(better, rbar_d, rbar)
         if with_k_best:
             kbest = jnp.where(better, k_last, kbest)
-        score_sum = score_sum + score
-        return best_score, best_depth, score_sum, rbar, kbest
+        return best_score, best_depth, score_sum, n_allowed, rbar, kbest
 
     kbest_init = jnp.zeros((S_tot, TU) if with_k_best else (8, TU), DTYPE)
     init = (
         jnp.full((1, TU), -1.0, DTYPE),
         jnp.zeros((1, TU), DTYPE),
         jnp.zeros((1, TU), DTYPE),
+        jnp.zeros((1, TU), DTYPE),
         jnp.zeros((C, TU), DTYPE),
         kbest_init,
     )
-    best_score, best_depth, score_sum, rbar, kbest = jax.lax.fori_loop(
-        0, dim_d, sweep_one_d, init)
+    (best_score, best_depth, score_sum, n_allowed, rbar,
+     kbest) = jax.lax.fori_loop(0, dim_d, sweep_one_d, init)
 
     best_score_ref[0, 0, :] = best_score[0]
-    score_sum_ref[0, 0, :] = score_sum[0]
+    if masked:
+        # the wrapper's score_mean divides by dim_d: pre-scale so the
+        # mean is over the ALLOWED candidates only (tol guarantees >= 1)
+        score_sum_ref[0, 0, :] = (score_sum[0] * DTYPE(dim_d)
+                                  / jnp.maximum(n_allowed[0], 1.0))
+    else:
+        score_sum_ref[0, 0, :] = score_sum[0]
     best_depth_ref[0, 0, :] = best_depth[0]
     rbar_ref[0, :, :] = rbar
     if with_k_best:
@@ -285,21 +333,30 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                                with_k_best: bool = False,
                                padded=None, interpret: bool = False,
                                tile_active=None,
-                               v_block: int = 128) -> SweepResult:
+                               v_block: int = 128,
+                               pdmin_v_u=None,
+                               pdmax_v_u=None) -> SweepResult:
     """Per-pixel-bounds sweep via the tile kernel.
 
     Args:
-      dmin_v_u / dmax_v_u: ``[V, U]`` per-pixel bounds.
+      dmin_v_u / dmax_v_u: ``[V, U]`` per-pixel GRID bounds (each pixel's
+        candidate grid is dmin + k * (dmax - dmin) / (dim_d - 1)).
       global_bounds: static (dmin, dmax) floats bounding every per-pixel
         value (the level's ctor constants) — determines the pad width.
       tile_active: optional ``[V, ceil(U/128)]`` activity flags.
       v_block: rows per pallas launch — bounds the per-launch runtime so
         remote-device watchdogs never trip even at worst-case scans.
+      pdmin_v_u / pdmax_v_u: optional ``[V, U]`` per-pixel ALLOWED ranges:
+        when given, candidates outside [pdmin - step, pdmax + step] are
+        excluded from the argmax and the score mean (the tile-quantized
+        coarse-sweep mode: grid bounds shared per 128-lane tile for a
+        cheap uniform-shift gather, range restriction kept per pixel).
     """
     if params.interpolation != "linear":
         raise NotImplementedError("linear interpolation only")
     V, S, U, C = epis_v_s_u_c.shape
     gmin, gmax = global_bounds
+    masked = pdmin_v_u is not None
     if padded is None:
         padded = prepare_padded_epis(epis_v_s_u_c, gmin, gmax,
                                      params.slope_factor)
@@ -310,27 +367,38 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         # split into row blocks (tail handled by a second call shape)
         n_full = V // v_block
         Vf = n_full * v_block
-        def call(epis_c, dmin_c, dmax_c, pad_c, act_c):
+        def call(epis_c, dmin_c, dmax_c, pad_c, act_c, pmin_c, pmax_c):
             return sweep_pile_pallas_perpixel(
                 epis_c, dmin_c, dmax_c, global_bounds, dim_d, s_hat,
                 params, with_k_best=with_k_best,
                 padded=(pad_c, PAD, s_pad), interpret=interpret,
-                tile_active=act_c, v_block=0)
+                tile_active=act_c, v_block=0,
+                pdmin_v_u=pmin_c, pdmax_v_u=pmax_c)
         nt = _round_up(U, 128) // 128
         if tile_active is None:
             tile_active = jnp.ones((V, nt), jnp.int32)
+        if not masked:
+            pdmin_v_u = dmin_v_u  # placeholder leaves for lax.map
+            pdmax_v_u = dmax_v_u
+
         def blk(args):
-            return call(*args)
+            (e, a, b, p, f, pm, px) = args
+            return call(e, a, b, p, f, pm if masked else None,
+                        px if masked else None)
         parts = jax.lax.map(blk, (
             epis_v_s_u_c[:Vf].reshape(n_full, v_block, S, U, C),
             dmin_v_u[:Vf].reshape(n_full, v_block, U),
             dmax_v_u[:Vf].reshape(n_full, v_block, U),
             epi_pad[:Vf].reshape((n_full, v_block) + epi_pad.shape[1:]),
-            tile_active[:Vf].reshape(n_full, v_block, nt)))
+            tile_active[:Vf].reshape(n_full, v_block, nt),
+            pdmin_v_u[:Vf].reshape(n_full, v_block, U),
+            pdmax_v_u[:Vf].reshape(n_full, v_block, U)))
         merged = [x.reshape((Vf,) + x.shape[2:]) for x in parts]
         if Vf < V:
             tail = call(epis_v_s_u_c[Vf:], dmin_v_u[Vf:], dmax_v_u[Vf:],
-                        epi_pad[Vf:], tile_active[Vf:])
+                        epi_pad[Vf:], tile_active[Vf:],
+                        pdmin_v_u[Vf:] if masked else None,
+                        pdmax_v_u[Vf:] if masked else None)
             merged = [jnp.concatenate([m, t], axis=0)
                       for m, t in zip(merged, tail)]
         return SweepResult(*merged)
@@ -339,14 +407,16 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
     n_tiles = _round_up(U, TU) // TU
     Upad = n_tiles * TU
 
-    if Upad != U:
-        pad_cfg = ((0, 0), (0, Upad - U))
-        dmin_p = jnp.pad(dmin_v_u, pad_cfg)
-        dmax_p = jnp.pad(dmax_v_u, pad_cfg)
-    else:
-        dmin_p, dmax_p = dmin_v_u, dmax_v_u
-    dmin_p = dmin_p[:, None, :]   # [V, 1, Upad]: tileable block shape
-    dmax_p = dmax_p[:, None, :]
+    def padu(x):
+        if Upad == U:
+            return x[:, None, :]
+        return jnp.pad(x, ((0, 0), (0, Upad - U)))[:, None, :]
+
+    dmin_p = padu(dmin_v_u)   # [V, 1, Upad]: tileable block shape
+    dmax_p = padu(dmax_v_u)
+    if masked:
+        pdmin_p = padu(pdmin_v_u)
+        pdmax_p = padu(pdmax_v_u)
 
     if tile_active is None:
         flags = jnp.ones((V * n_tiles,), jnp.int32)
@@ -359,7 +429,8 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         _sweep_pp_kernel, S=S, U=U, C=C, PAD=PAD, dim_d=dim_d,
         s_pad=s_pad, slope_factor=params.slope_factor,
         h=params.kernel_h, iters=params.mean_shift_max_iter,
-        with_k_best=with_k_best, U_tot=U_tot)
+        with_k_best=with_k_best, U_tot=U_tot, masked=masked,
+        interpret=interpret)
 
     kb_S = S_tot if with_k_best else 8
     out_shapes = [
@@ -385,19 +456,27 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
                      memory_space=pltpu.VMEM),
     ]
 
+    bounds_spec = pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, j, f, r: (0, 0),
+                     memory_space=pltpu.SMEM),
+        bounds_spec,
+        bounds_spec,
+    ]
+    operands = [s_hat_arr, dmin_p, dmax_p]
+    if masked:
+        in_specs += [bounds_spec, bounds_spec]
+        operands += [pdmin_p, pdmax_p]
+    in_specs.append(
+        pl.BlockSpec((1, C, S_tot, U_tot), lambda i, j, f, r: (r[i], 0, 0, 0),
+                     memory_space=pltpu.VMEM))
+    operands.append(epi_pad)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(V, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j, f, r: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, j, f, r: (r[i], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((C, S_tot, TU), DTYPE),
                         pltpu.VMEM((C, S_tot, 384), DTYPE)],
@@ -409,7 +488,7 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         out_shape=out_shapes,
         interpret=interpret,
     )(flags, make_fetch_remap(flags.reshape(V, n_tiles).max(axis=1)),
-      s_hat_arr, dmin_p, dmax_p, epi_pad)
+      *operands)
 
     if with_k_best:
         k_best = kbest[:, :S, :U]

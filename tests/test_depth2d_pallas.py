@@ -14,9 +14,10 @@ from remotesensingproject_tpu.models.depth2d import Depth2DComputer
 from tests.oracle import make_synthetic_lf
 
 
-def _run(vol, edit_bounds, use_pallas):
-    c = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 7,
-                        use_pallas=use_pallas, pass_chunk=3)
+def _run(vol, edit_bounds, use_pallas, coarse_mode="pixel", dim_d=7):
+    c = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, dim_d,
+                        use_pallas=use_pallas, pass_chunk=3,
+                        coarse_mode=coarse_mode)
     if edit_bounds:
         S, V, U = c.dmin_s_v_u.shape
         rng = np.random.default_rng(7)
@@ -33,6 +34,8 @@ def _run(vol, edit_bounds, use_pallas):
 
 @pytest.mark.parametrize("edit_bounds", [False, True])
 def test_depth2d_pallas_matches_xla(edit_bounds):
+    """coarse_mode="pixel" keeps the reference's exact per-pixel grids —
+    the pallas pipeline must match the XLA pipeline bit-for-bit-ish."""
     vol, _ = make_synthetic_lf(S=8, V=6, U=160, C=1, seed=5,
                                dmin=-1.0, dmax=1.5)
     ref = _run(vol, edit_bounds, use_pallas=False)
@@ -51,3 +54,22 @@ def test_depth2d_pallas_matches_xla(edit_bounds):
     # kernel accumulates score_sum sequentially over d then divides,
     # the XLA path takes jnp.mean over the d axis.
     assert np.allclose(ref.disp_conf, out.disp_conf, atol=2e-3), "disp_conf"
+
+
+def test_depth2d_tile_mode_close_to_pixel_mode():
+    """coarse_mode="tile" (tile-quantized candidate grids, the fast TPU
+    default) must stay within one tile-grid step of the exact per-pixel
+    pipeline wherever both are confident."""
+    vol, _ = make_synthetic_lf(S=8, V=6, U=160, C=1, seed=5,
+                               dmin=-1.0, dmax=1.5)
+    ref = _run(vol, True, use_pallas=True, coarse_mode="pixel", dim_d=25)
+    out = _run(vol, True, use_pallas=True, coarse_mode="tile", dim_d=25)
+    both = np.asarray(ref.ce_mask & out.ce_mask & ~ref.claim & ~out.claim)
+    assert both.sum() > 100  # enough commonly-claimed confident pixels
+    diff = np.abs(np.asarray(ref.best_depth) - np.asarray(out.best_depth))
+    step = (1.5 - (-1.0)) / 24  # worst-case tile grid step
+    frac_close = float((diff[both] <= step + 1e-6).mean())
+    assert frac_close > 0.9, frac_close
+    # and the overall disparity error stays well inside the 0.5 px budget
+    rmse = float(np.sqrt(np.mean(diff[both] ** 2)))
+    assert rmse < 0.25, rmse

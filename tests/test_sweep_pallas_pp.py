@@ -93,3 +93,55 @@ def test_perpixel_kernel_v_blocks(rng):
         params, interpret=True, v_block=2)
     for x, y in zip(a, b):
         assert np.allclose(np.asarray(x), np.asarray(y)), "chunk mismatch"
+
+
+def test_perpixel_kernel_masked_tile_quantized(rng):
+    """Tile-quantized mode: per-tile grid bounds + per-pixel allowed
+    masking must equal a per-pixel oracle over the tile grid with
+    candidates outside [pdmin - step, pdmax + step] excluded."""
+    V, S, U, C = 2, 6, 150, 1  # 2 u-tiles
+    dim_d = 9
+    gmin, gmax = -1.0, 1.5
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=C, n_objects=3,
+                                      seed=5, dmin=gmin, dmax=gmax)
+    vol = vol.astype(np.float32)
+    params = DepthParams(slope_factor=0.5)
+
+    # per-pixel true bounds, mostly refined
+    c = rng.uniform(gmin + 0.4, gmax - 0.4, (V, U)).astype(np.float32)
+    pdmin = np.clip(c - 0.3, gmin, gmax).astype(np.float32)
+    pdmax = np.clip(c + 0.3, gmin, gmax).astype(np.float32)
+
+    # per-128-lane-tile quantized grid bounds
+    qmin = np.empty_like(pdmin)
+    qmax = np.empty_like(pdmax)
+    for j in range((U + 127) // 128):
+        sl = slice(j * 128, min(U, (j + 1) * 128))
+        qmin[:, sl] = pdmin[:, sl].min(axis=1, keepdims=True)
+        qmax[:, sl] = pdmax[:, sl].max(axis=1, keepdims=True)
+
+    res = sweep_pile_pallas_perpixel(
+        jnp.asarray(vol), jnp.asarray(qmin), jnp.asarray(qmax),
+        (gmin, gmax), dim_d, jnp.int32(3), params, interpret=True,
+        pdmin_v_u=jnp.asarray(pdmin), pdmax_v_u=jnp.asarray(pdmax))
+
+    f32 = np.float32
+    for v in range(V):
+        for u in range(0, U, 13):
+            scores, _, _, _, _, _ = oracle.sweep_pixel(
+                vol[v], u, qmin[v, u], qmax[v, u], dim_d, 3,
+                slope_factor=0.5)
+            grid = np.array(
+                [f32(f32(qmin[v, u]) + f32(f32(f32(d) * f32(
+                    f32(qmax[v, u]) - f32(qmin[v, u]))) / f32(dim_d - 1)))
+                 for d in range(dim_d)], np.float32)
+            tol = f32(f32(qmax[v, u] - qmin[v, u]) / f32(dim_d - 1))
+            allowed = (grid >= pdmin[v, u] - tol) & \
+                (grid <= pdmax[v, u] + tol)
+            assert allowed.any(), "tol must keep >= 1 candidate"
+            sc = np.where(allowed, scores, -np.inf)
+            best = int(np.argmax(sc))
+            assert abs(res.best_score[v, u] - scores[best]) < 3e-5, (v, u)
+            assert abs(res.best_depth[v, u] - grid[best]) < 1e-6, (v, u)
+            mean = scores[allowed].mean()
+            assert abs(res.score_mean[v, u] - mean) < 3e-5, (v, u)

@@ -220,7 +220,17 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
 
     payloads = [(st.best_depth, filtered), (st.disp_conf, conf_new)]
     if params.score_version == "line":
-        lc = _line_confidence(st.ce, filtered, res.k_best, mask_new, s_hat)
+        # C_l is refreshed only at pixels successfully swept THIS pass
+        # (good): the reference writes it under the edge mask but reads
+        # the kernel matrix K of the winning line, which is only defined
+        # for fresh sweeps (core.hpp:645-651 exports K per-u only when
+        # the score passes; at unswept pixels the buffer holds stale
+        # values — and the Pallas kernels' k_best is undefined on
+        # claimed chunks).  Elsewhere the previous plane value (e.g. a
+        # propagation-painted C_l) is retained.
+        lc_raw = _line_confidence(st.ce, filtered, res.k_best, mask_new,
+                                  s_hat)
+        lc = jnp.where(good, lc_raw, plane(state.line_conf))
         lc_state = jax.lax.dynamic_update_index_in_dim(
             st.line_conf, lc, s_hat, 0)
         st = st._replace(line_conf=lc_state)
@@ -258,6 +268,39 @@ def _passes_chunk_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     state, _ = jax.lax.scan(step, state, s_hats)
     remaining = jnp.sum((state.ce_mask & state.claim).astype(jnp.int32))
     return state, remaining
+
+
+def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
+                 state: Depth2DState, s_hats, *, early_stop: bool, **kw):
+    """Run the ENTIRE center-outward schedule in one device call.
+
+    A lax.while_loop over the pass index with the early-stop condition
+    evaluated on device: one dispatch and one host sync for the whole
+    level (vs one per pass chunk), which matters both over a remote
+    device tunnel and for wall-clock at the cheap coarse levels.  A pass
+    on a zero-remaining state is an exact no-op (the sweep merge, the
+    confidence zeroing and the propagation writes are all gated on
+    still-unclaimed active pixels), so stopping at the first
+    remaining==0 is bit-identical to the chunked driver.
+    """
+    n = s_hats.shape[0]
+
+    def cond(carry):
+        i, _st, remaining = carry
+        if early_stop:
+            return jnp.logical_and(i < n, remaining != 0)
+        return i < n
+
+    def body(carry):
+        i, st, _ = carry
+        st = _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u,
+                      epis_padded, st, s_hats[i], **kw)
+        remaining = jnp.sum((st.ce_mask & st.claim).astype(jnp.int32))
+        return i + 1, st, remaining
+
+    n_done, state, remaining = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), state, jnp.int32(-1)))
+    return state, n_done, remaining
 
 
 class Depth2DComputer:
@@ -339,20 +382,32 @@ class Depth2DComputer:
         else:
             epis_padded = jnp.zeros((1,), DTYPE)
             pad_static = None
-        fwd = jax.jit(
-            functools.partial(
-                _passes_chunk_fn, dim_d=self.dim_d, params=self.params,
-                d_bounds=(self.dmin, self.dmax),
-                use_pallas=self.use_pallas,
-                uniform_bounds=not self._bounds_edited,
-                pad_static=pad_static,
-                coarse_mode=self.coarse_mode),
-            donate_argnums=(5,))
-
+        kw = dict(dim_d=self.dim_d, params=self.params,
+                  d_bounds=(self.dmin, self.dmax),
+                  use_pallas=self.use_pallas,
+                  uniform_bounds=not self._bounds_edited,
+                  pad_static=pad_static,
+                  coarse_mode=self.coarse_mode)
         schedule = center_outward_schedule(S)
+        import time as _time
+
+        if not self.verbose:
+            # fast path: the whole schedule in ONE device dispatch
+            fwd = jax.jit(
+                functools.partial(_schedule_fn,
+                                  early_stop=self.early_stop, **kw),
+                donate_argnums=(5,))
+            state, _n_done, _rem = fwd(
+                self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
+                epis_padded, state, jnp.asarray(schedule, jnp.int32))
+            self.state = jax.block_until_ready(state)
+            return self.state
+
+        # verbose path: chunked dispatches with per-chunk progress
+        fwd = jax.jit(functools.partial(_passes_chunk_fn, **kw),
+                      donate_argnums=(5,))
         chunk = self.pass_chunk
         done = 0
-        import time as _time
         t_chunk = _time.time()
         while done < len(schedule):
             # variable-length tail chunk (repeating a pass to pad is NOT
@@ -363,15 +418,13 @@ class Depth2DComputer:
             state, remaining = fwd(
                 self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
                 epis_padded, state, jnp.asarray(part, jnp.int32))
-            if self.verbose:
-                now = _time.time()
-                print(f"passes {done}/{len(schedule)} "
-                      f"(+{now - t_chunk:.1f}s, "
-                      f"remaining px {int(remaining)})")
-                t_chunk = now
+            now = _time.time()
+            print(f"passes {done}/{len(schedule)} "
+                  f"(+{now - t_chunk:.1f}s, "
+                  f"remaining px {int(remaining)})")
+            t_chunk = now
             if self.early_stop and int(remaining) == 0:
-                if self.verbose:
-                    print(f"early stop after {done} passes")
+                print(f"early stop after {done} passes")
                 break
         self.state = jax.block_until_ready(state)
         return self.state

@@ -97,28 +97,37 @@ def _morph_open_vu(mask_v_s_u, size: int):
 
 
 def _ellipse_element(n: int):
-    """OpenCV getStructuringElement(MORPH_ELLIPSE, (n, n)) replica."""
+    """cv::getStructuringElement(MORPH_ELLIPSE, (n, n)) exact replica.
+
+    OpenCV (morph.cpp) uses integer half-axes r = c = n // 2 and fills,
+    per row, columns [c - dx, c + dx] with
+    dx = cvRound(c * sqrt(r*r - dy*dy) / r) — NOT an inscribed-ellipse
+    membership test (verified bit-exact vs cv2 in tests/test_variants.py).
+    """
     import numpy as np
 
-    r = (n - 1) / 2.0
-    c = (n - 1) / 2.0
-    ys, xs = np.mgrid[0:n, 0:n]
-    if r == 0:
-        return np.ones((1, 1), bool)
-    # OpenCV fills an ellipse of axes (n/2, n/2); approximate with the
-    # standard inscribed ellipse test.
-    inv_r2 = 1.0 / (r * r) if r > 0 else 0.0
-    el = ((ys - r) ** 2 + (xs - c) ** 2) * inv_r2 <= 1.0 + 1e-9
+    if n <= 1:
+        return np.ones((max(n, 1), max(n, 1)), bool)
+    r = c = n // 2
+    inv_r2 = 1.0 / (r * r)
+    el = np.zeros((n, n), bool)
+    for i in range(n):
+        dy = i - r
+        if abs(dy) <= r:
+            dx = int(np.rint(
+                c * np.sqrt(max(r * r - dy * dy, 0) * inv_r2)))
+            el[i, max(c - dx, 0):min(c + dx + 1, n)] = True
     return el
 
 
 def _morph(m_v_s_u, se, erode: bool):
-    import numpy as np
-
     n = se.shape[0]
-    w = (n - 1) // 2
+    # OpenCV anchors the element at (n//2, n//2) and uses the SAME
+    # offsets for erosion and dilation (its documented formula does not
+    # reflect the kernel); the anchor choice matters for even n.
+    a = n // 2
     V, S, U = m_v_s_u.shape
-    pad = [(w, w), (0, 0), (w, w)]
+    pad = [(a, n - 1 - a), (0, 0), (a, n - 1 - a)]
     init = 1.0 if erode else 0.0
     mp = jnp.pad(m_v_s_u, pad, mode="constant", constant_values=init)
     out = jnp.full((V, S, U), init, m_v_s_u.dtype)

@@ -76,7 +76,8 @@ def make_fetch_remap(flags):
 
 def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
                   best_score_ref, score_sum_ref, best_depth_ref,
-                  rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                  rbar_ref, kbest_ref, shear_ref, valid_ref,
+                  shear_c_ref, valid_c_ref, *,
                   S: int, U: int, Ux: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
                   iters: int, with_k_best: bool):
@@ -109,7 +110,8 @@ def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
         _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
                         best_score_ref,
                         score_sum_ref, best_depth_ref, rbar_ref,
-                        kbest_ref, shear_ref, valid_ref, S=S, U=U, Ux=Ux,
+                        kbest_ref, shear_ref, valid_ref,
+                        shear_c_ref, valid_c_ref, S=S, U=U, Ux=Ux,
                         C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
                         slope_factor=slope_factor, h=h, iters=iters,
                         with_k_best=with_k_best)
@@ -117,7 +119,8 @@ def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
 
 def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
                     best_score_ref, score_sum_ref, best_depth_ref,
-                    rbar_ref, kbest_ref, shear_ref, valid_ref, *,
+                    rbar_ref, kbest_ref, shear_ref, valid_ref,
+                    shear_c_ref, valid_c_ref, *,
                     S: int, U: int, Ux: int, C: int, PAD: int,
                     dim_d: int, s_pad: int, slope_factor: float,
                     h: float, iters: int, with_k_best: bool):
@@ -285,6 +288,43 @@ def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
         if with_k_best:
             kbest_ref[0, :, :] = kbest
 
+    def gather_chunk(dval, j, shear_c_ref, valid_c_ref):
+        """Sheared gather of ONE 128-lane chunk only (chunk-gated path):
+        the same per-s scan as gather_d but producing just chunk j's
+        lanes, so a row with one active chunk pays 1/n_chunks of the
+        gather.  Writes go to chunk-width scratch (static lane extent —
+        Mosaic can't store at a dynamic sublane index combined with a
+        dynamic lane offset)."""
+        lane_local = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) \
+            + j * 128
+
+        def gather_s(s, _):
+            shift = (s_hat - s).astype(DTYPE) * dval * DTYPE(slope_factor)
+            i0 = jnp.floor(shift)
+            t = shift - i0
+            i0i = i0.astype(jnp.int32)
+            start = i0i + PAD
+            ceil_off = i0i + (t > 0).astype(jnp.int32)
+            ok_row = jnp.logical_and(
+                lane_local >= -i0i,
+                lane_local <= (U - 1) - ceil_off)
+            ok_row = jnp.logical_and(ok_row, s < S)
+            valid_c_ref[pl.ds(s, 1), :] = ok_row.astype(DTYPE)
+            rem = jax.lax.rem(start, 128)
+            base = start - rem
+            for c in range(C):
+                win = epi_ref[0, c, pl.ds(s, 1),
+                              pl.ds(pl.multiple_of(base + j * 128, 128),
+                                    256)]
+                row_a = pltpu.roll(win, -rem, axis=1)[:, :128]
+                row_b = pltpu.roll(win, -(rem + 1), axis=1)[:, :128]
+                blend = (DTYPE(1.0) - t) * row_a + t * row_b
+                shear_c_ref[c, pl.ds(s, 1), :] = jnp.where(
+                    t == 0, row_a, blend)
+            return 0
+
+        jax.lax.fori_loop(0, S_tot, gather_s, 0)
+
     @pl.when(jnp.logical_not(all_active))
     def _chunked():
         # argmax state lives in the OUTPUT refs so per-chunk updates
@@ -298,14 +338,14 @@ def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
 
         def sweep_one_d(d, _):
             dval = dvec_ref[0, d]
-            gather_d(dval)
 
             def ms_chunk(j, _):
                 @pl.when(flags_ref[row0 + j] != 0)
                 def _chunk():
+                    gather_chunk(dval, j, shear_c_ref, valid_c_ref)
                     sl = pl.ds(pl.multiple_of(j * 128, 128), 128)
-                    validf = valid_ref[:, sl]            # [S_tot, 128]
-                    shear = [shear_ref[c, :, sl] for c in range(C)]
+                    validf = valid_c_ref[:, :]           # [S_tot, 128]
+                    shear = [shear_c_ref[c, :, :] for c in range(C)]
                     # r_bar init: the s_hat row via an s-iota select
                     # (exact — single nonzero term; Mosaic can't mix a
                     # dynamic sublane index with a dynamic lane slice).
@@ -465,7 +505,9 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         ],
         out_specs=out_specs,
         scratch_shapes=[pltpu.VMEM((C, S_tot, Ux), DTYPE),
-                        pltpu.VMEM((S_tot, Ux), DTYPE)],
+                        pltpu.VMEM((S_tot, Ux), DTYPE),
+                        pltpu.VMEM((C, S_tot, 128), DTYPE),
+                        pltpu.VMEM((S_tot, 128), DTYPE)],
     )
 
     best_score, score_sum, best_depth, rbar, kbest = pl.pallas_call(

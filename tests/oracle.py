@@ -78,11 +78,23 @@ def interp_linear(row_u_c, idx):
     return ((1 - t) * row_u_c[fi] + t * row_u_c[ci]).astype(np.float32), True
 
 
+def interp_nearest(row_u_c, idx):
+    """Nearest-neighbour 1-D interpolation (the intended semantics of
+    Interpolation1DNearestNeighbour, rslf_interpolation.hpp:81-92:
+    std::round = half away from zero, valid when in range)."""
+    U = row_u_c.shape[0]
+    ri = int(np.sign(idx) * np.floor(abs(idx) + 0.5))
+    if ri < 0 or ri > U - 1:
+        return np.full(row_u_c.shape[1], np.nan, np.float32), False
+    return row_u_c[ri].astype(np.float32), True
+
+
 def sweep_pixel(epi_s_u_c, u, dmin, dmax, dim_d, s_hat, h=0.2,
-                slope_factor=1.0, n_iter=10):
+                slope_factor=1.0, n_iter=10, interpolation="linear"):
     """Full sweep at one pixel: returns (scores [D], best_d_index,
     best_depth, rbar_at_best [C], k_last [S, D], card_R [D])."""
     S, U, C = epi_s_u_c.shape
+    interp = interp_linear if interpolation == "linear" else interp_nearest
     # float32 op order as in the C++ (core.hpp:548)
     f32 = np.float32
     D = np.array([f32(f32(dmin) + f32(f32(f32(d) * f32(f32(dmax) -
@@ -94,7 +106,7 @@ def sweep_pixel(epi_s_u_c, u, dmin, dmax, dim_d, s_hat, h=0.2,
     for s in range(S):
         for d in range(dim_d):
             idx = (s_hat - s) * D[d] * slope_factor + u
-            val, ok = interp_linear(epi_s_u_c[s], idx)
+            val, ok = interp(epi_s_u_c[s], idx)
             r[s, d] = val
             valid[s, d] = ok
     card = valid.sum(axis=0).astype(np.float32)
@@ -150,9 +162,14 @@ def selective_median(src_v_u, frame_v_u_c, mask_v_u, size, eps):
 
 def propagate(best_depth_s_v_u, disp_conf_s_v_u, claim_s_v_u,
               frames_s_v_u_c, depth_f_v_u, rbar_v_u_c, conf_v_u,
-              source_mask_v_u, s_hat, slope_factor, eps):
+              source_mask_v_u, s_hat, slope_factor, eps,
+              extra_payloads=()):
     """Sequential reference propagation (core.hpp:1088-1129).
-    Mutates the first three arrays in place."""
+    Mutates the first three arrays (and extra payload targets) in place.
+
+    extra_payloads: sequence of (target_s_v_u, source_v_u) painted under
+    the same condition (the line-confidence write at core.hpp:1123).
+    """
     S, V, U = best_depth_s_v_u.shape
     for v in range(V):
         for u in range(U):
@@ -169,6 +186,8 @@ def propagate(best_depth_s_v_u, disp_conf_s_v_u, claim_s_v_u,
                     best_depth_s_v_u[s, v, t] = d
                     claim_s_v_u[s, v, t] = False
                     disp_conf_s_v_u[s, v, t] = conf_v_u[v, u]
+                    for tgt, srcp in extra_payloads:
+                        tgt[s, v, t] = srcp[v, u]
 
 
 def make_synthetic_lf(S=12, V=8, U=40, C=1, n_objects=4, seed=0,

@@ -95,7 +95,9 @@ def main():
     t0 = time.time()
     with contextlib.redirect_stdout(sys.stderr):
         ftc = FineToCoarse(vol, dmin, dmax, D, use_pallas=use_pallas,
-                           verbose=True)
+                           verbose=True,
+                           pass_progress=os.environ.get(
+                               "BENCH_PROGRESS") == "1")
         # optional resumable run (BENCH_CKPT_DIR=/path): saves each
         # completed pyramid level; crashed runs restart mid-pyramid
         ftc.run(ckpt_dir=os.environ.get("BENCH_CKPT_DIR") or None)

@@ -96,8 +96,15 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
              s_hat, *, dim_d: int, params: DepthParams,
              d_bounds: Tuple[float, float], use_pallas: bool,
              uniform_bounds: bool, pad_static=None,
-             coarse_mode: str = "tile") -> Depth2DState:
-    """One center-outward pass (sweep + median + propagation), jittable."""
+             coarse_mode: str = "tile",
+             median_fn=None) -> Depth2DState:
+    """One center-outward pass (sweep + median + propagation), jittable.
+
+    ``median_fn`` (same signature as ops.median.selective_median)
+    overrides the selective median — the sharded driver passes the
+    ppermute-halo variant; everything else in the pass is per-v local
+    and runs unchanged inside shard_map.
+    """
     V, S, U, C = epis.shape
     s_hat = jnp.asarray(s_hat, jnp.int32)
 
@@ -214,9 +221,10 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     # Selective median on the (possibly propagation-painted) s_hat plane,
     # gated by the post-sweep edge mask (core.hpp:877-892).  The filtered
     # values drive propagation but do NOT replace the stored plane.
-    filtered = selective_median(depth_new, frame, mask_new,
-                                params.median_filter_size,
-                                params.median_filter_epsilon)
+    med = median_fn if median_fn is not None else selective_median
+    filtered = med(depth_new, frame, mask_new,
+                   params.median_filter_size,
+                   params.median_filter_epsilon)
 
     payloads = [(st.best_depth, filtered), (st.disp_conf, conf_new)]
     if params.score_version == "line":
@@ -244,7 +252,11 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     claim_out, targets_out = propagate(
         st.claim, frames, filtered, rbar_new, source_mask, s_hat,
         d_bounds, params.slope_factor, params.propagation_epsilon,
-        payloads)
+        payloads,
+        # present-offsets-only painting applies when every pixel shares
+        # the level's uniform candidate grid (bounds-edited levels use
+        # per-tile/per-pixel grids, where the dense scan stays)
+        dim_d=dim_d if uniform_bounds else 0)
 
     st = st._replace(best_depth=targets_out[0], disp_conf=targets_out[1],
                      claim=claim_out)
@@ -253,25 +265,9 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     return st
 
 
-def _passes_chunk_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
-                     state: Depth2DState, s_hats, **kw):
-    """Run several center-outward passes in one jitted call.
-
-    Batching passes into a lax.scan amortizes dispatch / host-sync
-    round-trips (significant over a remote-device tunnel); the early-stop
-    count is returned so the host only syncs once per chunk.
-    """
-    def step(st, s_hat):
-        return _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u,
-                        epis_padded, st, s_hat, **kw), None
-
-    state, _ = jax.lax.scan(step, state, s_hats)
-    remaining = jnp.sum((state.ce_mask & state.claim).astype(jnp.int32))
-    return state, remaining
-
-
 def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
-                 state: Depth2DState, s_hats, *, early_stop: bool, **kw):
+                 state: Depth2DState, s_hats, *, early_stop: bool,
+                 axis_name=None, **kw):
     """Run the ENTIRE center-outward schedule in one device call.
 
     A lax.while_loop over the pass index with the early-stop condition
@@ -282,6 +278,9 @@ def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     confidence zeroing and the propagation writes are all gated on
     still-unclaimed active pixels), so stopping at the first
     remaining==0 is bit-identical to the chunked driver.
+
+    With ``axis_name`` the remaining count is psum'd across the mesh
+    (the sharded driver runs this whole schedule inside shard_map).
     """
     n = s_hats.shape[0]
 
@@ -296,6 +295,8 @@ def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         st = _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u,
                       epis_padded, st, s_hats[i], **kw)
         remaining = jnp.sum((st.ce_mask & st.claim).astype(jnp.int32))
+        if axis_name is not None:
+            remaining = jax.lax.psum(remaining, axis_name)
         return i + 1, st, remaining
 
     n_done, state, remaining = jax.lax.while_loop(
@@ -391,21 +392,16 @@ class Depth2DComputer:
         schedule = center_outward_schedule(S)
         import time as _time
 
-        if not self.verbose:
-            # fast path: the whole schedule in ONE device dispatch
-            fwd = jax.jit(
-                functools.partial(_schedule_fn,
-                                  early_stop=self.early_stop, **kw),
-                donate_argnums=(5,))
-            state, _n_done, _rem = fwd(
-                self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
-                epis_padded, state, jnp.asarray(schedule, jnp.int32))
-            self.state = jax.block_until_ready(state)
-            return self.state
-
-        # verbose path: chunked dispatches with per-chunk progress
-        fwd = jax.jit(functools.partial(_passes_chunk_fn, **kw),
-                      donate_argnums=(5,))
+        # Bounded dispatches: each device call runs at most pass_chunk
+        # passes as an on-device while_loop (early stop included), and
+        # the host syncs the remaining count in between.  One unbounded
+        # dispatch of the whole schedule trips the TPU runtime's
+        # execution watchdog at production shapes ("TPU worker process
+        # crashed"), wedging the chip — the r1 bench crash root cause.
+        fwd = jax.jit(
+            functools.partial(_schedule_fn, early_stop=self.early_stop,
+                              **kw),
+            donate_argnums=(5,))
         chunk = self.pass_chunk
         done = 0
         t_chunk = _time.time()
@@ -415,16 +411,19 @@ class Depth2DComputer:
             # values — costs at most one extra compilation instead)
             part = schedule[done:done + chunk]
             done += len(part)
-            state, remaining = fwd(
+            state, _n_done, remaining = fwd(
                 self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
                 epis_padded, state, jnp.asarray(part, jnp.int32))
-            now = _time.time()
-            print(f"passes {done}/{len(schedule)} "
-                  f"(+{now - t_chunk:.1f}s, "
-                  f"remaining px {int(remaining)})")
-            t_chunk = now
-            if self.early_stop and int(remaining) == 0:
-                print(f"early stop after {done} passes")
+            remaining = int(remaining)  # host sync paces the dispatches
+            if self.verbose:
+                now = _time.time()
+                print(f"passes {done}/{len(schedule)} "
+                      f"(+{now - t_chunk:.1f}s, "
+                      f"remaining px {remaining})")
+                t_chunk = now
+            if self.early_stop and remaining == 0:
+                if self.verbose:
+                    print(f"early stop after {done} passes")
                 break
         self.state = jax.block_until_ready(state)
         return self.state

@@ -38,9 +38,16 @@ class FineToCoarse:
                  use_pallas: Optional[bool] = None,
                  early_stop: bool = True,
                  verbose: bool = False,
+                 pass_progress: Optional[bool] = None,
                  pass_chunk: int = 8,
                  mesh=None,
                  coarse_mode: str = "tile"):
+        # verbose prints per-level lines; pass_progress additionally
+        # prints per-pass-chunk progress INSIDE each level, which forces
+        # the computers onto the chunked-dispatch path (the default
+        # single-dispatch while_loop cannot report progress).
+        if pass_progress is None:
+            pass_progress = verbose
         epis = jnp.asarray(epis_v_s_u_c)
         if epis.ndim == 3:
             epis = epis[..., None]
@@ -77,11 +84,12 @@ class FineToCoarse:
                     lvl_input, dmin, dmax, dim_d, mesh=mesh,
                     epi_scale_factor=epi_scale_factor, params=lvl_params,
                     verbose=verbose, use_pallas=use_pallas,
-                    early_stop=early_stop))
+                    early_stop=early_stop, coarse_mode=coarse_mode))
             else:
                 self.computers.append(Depth2DComputer(
                     lvl_input, dmin, dmax, dim_d, epi_scale_factor,
-                    lvl_params, verbose=verbose, use_pallas=use_pallas,
+                    lvl_params, verbose=pass_progress,
+                    use_pallas=use_pallas,
                     early_stop=early_stop, pass_chunk=pass_chunk,
                     coarse_mode=coarse_mode))
             self.level_params.append(lvl_params)

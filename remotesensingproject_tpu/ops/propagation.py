@@ -46,6 +46,21 @@ import numpy as np
 from ..types import DTYPE, normsq, round_half_away
 
 
+def candidate_offsets(d_bounds: Tuple[float, float], dim_d: int,
+                      slope_factor: float):
+    """The candidate grid values times slope_factor, with the exact
+    device expression (and barriers) of the sweep engines, so that a
+    source depth produced by the sweep matches its grid value bitwise."""
+    dmin, dmax = d_bounds
+    d_idx = jnp.arange(dim_d, dtype=DTYPE)
+    rng_ = DTYPE(np.float32(np.float32(dmax) - np.float32(dmin)))
+    num = jax.lax.optimization_barrier(d_idx * rng_)
+    den = jax.lax.optimization_barrier(jnp.asarray(DTYPE(dim_d - 1)))
+    dvec = DTYPE(np.float32(dmin)) + jax.lax.optimization_barrier(
+        num / den)
+    return dvec * DTYPE(slope_factor)
+
+
 def propagate(
     claim_s_v_u: jnp.ndarray,       # [S, V, U] bool (True = unclaimed)
     frames_s_v_u_c: jnp.ndarray,    # [S, V, U, C] normalized volume
@@ -59,8 +74,17 @@ def propagate(
     payloads: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
     # sequence of (target_s_v_u, source_v_u) pairs painted under the
     # propagation condition; pass the depth volume itself as one of them.
+    dim_d: int = 0,
 ):
     """One pass of line painting.
+
+    When ``dim_d`` > 1 (uniform-bounds levels), the per-s offset loop
+    visits only the offsets of candidate-grid values PRESENT among the
+    sources (at most min(P, range) plane steps instead of the full
+    [o_lo, o_hi] scan — sweep depths, their selective medians and
+    painted depths all lie exactly on the candidate grid, which is
+    verified on device with a bitwise membership test; if any source is
+    off-grid the dense scan runs instead, bit-identically).
 
     Returns:
       (claim_s_v_u, tuple of updated target volumes in payload order).
@@ -72,6 +96,29 @@ def propagate(
     eps_sq = DTYPE(epsilon) ** 2
 
     offs_num_v_u = depth_f_v_u * DTYPE(slope_factor)  # offset per unit ds
+
+    use_buckets = dim_d > 1
+    if use_buckets:
+        bvals = candidate_offsets(d_bounds, dim_d, slope_factor)  # [D]
+        # presence + bitwise grid-membership of the masked sources
+        step_b = (DTYPE(np.float32(dmax)) - DTYPE(np.float32(dmin))) \
+            * DTYPE(slope_factor) / DTYPE(dim_d - 1)
+        bidx = jnp.clip(jnp.round(
+            (offs_num_v_u - bvals[0]) / jnp.where(step_b == 0, 1.0,
+                                                  step_b)),
+            0, dim_d - 1).astype(jnp.int32)
+        on_grid = bvals[bidx] == offs_num_v_u
+        all_on_grid = jnp.all(on_grid | ~source_mask_v_u)
+        # presence per bucket via a one-hot reduce (XLA scatters are
+        # slow on TPU; this fuses into one masked any-reduce)
+        jidx = jnp.arange(dim_d, dtype=jnp.int32)
+        present = jnp.any(
+            source_mask_v_u[None] & (bidx[None] == jidx[:, None, None]),
+            axis=(1, 2))                          # [D]
+        # compact: present values first, ascending (bvals is monotonic)
+        order = jnp.argsort(~present, stable=True)
+        plist = bvals[order]                      # [D]
+        n_present = jnp.sum(present.astype(jnp.int32))
 
     # static pad: the largest |offset| any (s, d) pair can produce
     ds_max = max(1, S - 1)
@@ -117,17 +164,15 @@ def propagate(
             starts += [jnp.int32(0)] * (x.ndim - 2)
             return jax.lax.dynamic_slice(x, starts, (V, U) + x.shape[2:])
 
-        def per_o_step(i, inner):
-            # descending o: first-writer-wins == smallest source u wins,
-            # the reference's sequential order.
-            o = o_hi - i
-            claim_s, planes = inner
+        def paint_o(o_f, claim_s, planes):
+            """Paint all sources whose rounded offset at this s is o."""
+            o = o_f.astype(jnp.int32)
             sm = shifted(sm_pad, o)
             off_sh = shifted(offs_pad, o)
             rb_sh = shifted(rbar_pad, o)
 
             radiance_ok = normsq(frame - rb_sh) < eps_sq
-            cond = sm & (off_sh == o.astype(DTYPE)) & claim_s & radiance_ok
+            cond = sm & (off_sh == o_f) & claim_s & radiance_ok
 
             planes = tuple(
                 jnp.where(cond, shifted(src, o), plane)
@@ -135,15 +180,55 @@ def propagate(
             claim_s = claim_s & ~cond
             return claim_s, planes
 
+        def per_o_step(i, inner):
+            # descending o: first-writer-wins == smallest source u wins,
+            # the reference's sequential order.
+            o = o_hi - i
+            claim_s, planes = inner
+            return paint_o(o.astype(DTYPE), claim_s, planes)
+
+        def dense_scan(args):
+            return jax.lax.fori_loop(0, o_hi - o_lo + 1, per_o_step, args)
+
         # skip planes with nothing left to claim (cheap early passes)
         any_work = jnp.any(claim_s) & any_src
 
+        if use_buckets:
+            # the DISTINCT offsets realized at this s, in descending
+            # order (== the reference's smallest-source-u-first order),
+            # compacted with [dim_d]-sized vector ops — the scan then
+            # visits n_distinct <= min(P, o-range) offsets with no
+            # per-iteration branching.
+            kk = jnp.arange(dim_d)
+            idxs = jnp.where(ds > 0, n_present - 1 - kk, kk)
+            o_seq = round_half_away(plist[idxs] * ds)      # [D]
+            in_p = kk < n_present
+            new = in_p & ((kk == 0)
+                          | (o_seq != jnp.roll(o_seq, 1)))
+            pos = jnp.cumsum(new.astype(jnp.int32)) - 1
+            # compaction without a scatter (slow on TPU): one-hot
+            # [D, D] select + max-reduce — o_seq is monotonic so any
+            # reduction over the matched slot is exact
+            oh = new[None, :] & (pos[None, :] == kk[:, None])
+            o_arr = jnp.max(
+                jnp.where(oh, o_seq[None, :], -jnp.inf), axis=1)
+            n_distinct = jnp.sum(new.astype(jnp.int32))
+
+            def per_distinct(i, inner):
+                claim_s, planes = inner
+                return paint_o(o_arr[i], claim_s, planes)
+
+            def bucket_scan(args):
+                return jax.lax.fori_loop(0, n_distinct, per_distinct,
+                                         args)
+
+            run = lambda args: jax.lax.cond(  # noqa: E731
+                all_on_grid, bucket_scan, dense_scan, args)
+        else:
+            run = dense_scan
+
         claim_s, planes = jax.lax.cond(
-            any_work,
-            lambda args: jax.lax.fori_loop(
-                0, o_hi - o_lo + 1, per_o_step, args),
-            lambda args: args,
-            (claim_s, planes))
+            any_work, run, lambda args: args, (claim_s, planes))
 
         claim = jax.lax.dynamic_update_index_in_dim(claim, claim_s, s, 0)
         targets = tuple(

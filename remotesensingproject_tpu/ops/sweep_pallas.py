@@ -60,6 +60,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def gather_window(dmin: float, dmax: float, slope_factor: float):
+    """(w_win, n_bits) for the s-blocked gather: the aligned window must
+    cover the 128-lane alignment residue plus the in-block shift drift
+    (7 * max|d| * slope) plus the 129 lanes of the linear blend."""
+    maxabs = max(abs(dmin), abs(dmax))
+    drift = int(np.floor(7 * maxabs * slope_factor)) + 1
+    r_max = 127 + drift
+    w_win = _round_up(r_max + 1 + 129, 128)
+    n_bits = max(1, int(np.ceil(np.log2(r_max + 1))))
+    return w_win, n_bits
+
+
 def make_fetch_remap(flags):
     """Map row i -> the nearest active row index at or before i.
 
@@ -74,18 +86,26 @@ def make_fetch_remap(flags):
     return jnp.maximum(rowmap, 0)
 
 
-def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
-                  best_score_ref, score_sum_ref, best_depth_ref,
-                  rbar_ref, kbest_ref, shear_ref, valid_ref,
-                  shear_c_ref, valid_c_ref, *,
+def _sweep_kernel(flags_ref, s_hat_ref, dvec_ref, epi_hbm_ref,
+                  out_hbm_ref, kbest_hbm_ref,
+                  epi_vmem, outbuf_ref, kbest_ref,
+                  shear_c_ref, valid_c_ref, sem_in, sem_out, *,
                   S: int, U: int, Ux: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
-                  iters: int, with_k_best: bool):
+                  iters: int, with_k_best: bool, w_win: int,
+                  n_bits: int):
     """One EPI row: full (d, mean-shift) sweep.  See module docstring.
 
     ``Ux`` is the 128-aligned compute width (>= U); surplus lanes compute
     garbage that the wrapper slices off — all lane ops are element-wise so
     they never contaminate real lanes.
+
+    The EPI volume and the outputs live in ANY/HBM memory space with
+    MANUAL per-row DMA under the activity gate: the automatic block
+    pipeline re-issues its DMAs every grid step even when the (data-
+    dependent) block index is unchanged, which put a ~140 ms floor on a
+    540-row pass with nothing to do (~0.26 ms per no-op step, measured
+    on v5e).  With manual DMA a skipped row costs nothing.
 
     The kernel is NaN-free: the EPI is ZERO-padded and sample validity is
     the interval  -floor(shift) <= u <= U-1-ceil(shift)  (the reference's
@@ -95,9 +115,8 @@ def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
     # Activity skipping at two granularities (the dense analog of the
     # reference's findNonZero sparsity, core.hpp:515-516): rows whose
     # 128-lane chunks are ALL inactive skip everything; within an active
-    # row, the gather runs full-width but the mean-shift/score — the
-    # dominant cost — runs only on active chunks.  The merge in the
-    # driver never reads inactive pixels' outputs.
+    # row, the gather runs per active chunk in the chunk-gated path.
+    # The merge in the driver never reads inactive pixels' outputs.
     i = pl.program_id(0)
     n_chunks = Ux // 128
     any_chunk = flags_ref[i * n_chunks]
@@ -107,91 +126,103 @@ def _sweep_kernel(flags_ref, rowmap_ref, s_hat_ref, dvec_ref, epi_ref,
 
     @pl.when(run_row)
     def _run():
-        _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
-                        best_score_ref,
-                        score_sum_ref, best_depth_ref, rbar_ref,
-                        kbest_ref, shear_ref, valid_ref,
+        copy_in = pltpu.make_async_copy(epi_hbm_ref.at[i], epi_vmem,
+                                        sem_in)
+        copy_in.start()
+        copy_in.wait()
+        _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_vmem,
+                        outbuf_ref, kbest_ref,
                         shear_c_ref, valid_c_ref, S=S, U=U, Ux=Ux,
                         C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
                         slope_factor=slope_factor, h=h, iters=iters,
-                        with_k_best=with_k_best)
+                        with_k_best=with_k_best, w_win=w_win,
+                        n_bits=n_bits)
+        copy_out = pltpu.make_async_copy(outbuf_ref, out_hbm_ref.at[i],
+                                         sem_out)
+        copy_out.start()
+        if with_k_best:
+            copy_kb = pltpu.make_async_copy(kbest_ref,
+                                            kbest_hbm_ref.at[i], sem_in)
+            copy_kb.start()
+            copy_kb.wait()
+        copy_out.wait()
 
 
 def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
-                    best_score_ref, score_sum_ref, best_depth_ref,
-                    rbar_ref, kbest_ref, shear_ref, valid_ref,
+                    outbuf_ref, kbest_ref,
                     shear_c_ref, valid_c_ref, *,
                     S: int, U: int, Ux: int, C: int, PAD: int,
                     dim_d: int, s_pad: int, slope_factor: float,
-                    h: float, iters: int, with_k_best: bool):
+                    h: float, iters: int, with_k_best: bool,
+                    w_win: int, n_bits: int):
+    # outbuf rows: 0 best_score, 1 score_sum, 2 best_depth, 3:3+C rbar
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
     S_tot = S + s_pad
     n_chunks = Ux // 128
     row0 = i * n_chunks
-    lane_u = jax.lax.broadcasted_iota(jnp.int32, (1, Ux), 1)
+    n_blk = S_tot // 8
+    sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
-    def load_shifted_rows(c, s, start):
-        """(epi[c, s, start:start+Ux], epi[c, s, start+1:start+1+Ux]).
+    def gather_chunk(dval, j):
+        """Sheared gather of one 128-lane chunk, 8 s-rows per step.
 
-        256-lane window rotates (Mosaic's dynamic lane rotate mis-rotates
-        3-vreg/384-lane windows — verified on v5e — so each 128-lane
-        output chunk rotates its own 2-vreg window, rotate in [0, 127]).
-        The +1 row is a STATIC single-lane rotate of the same rotated
-        window — valid because rem + 128 <= 255 keeps lanes [1:129]
-        un-wrapped — which halves the slices and dynamic rotates.
+        All per-s arithmetic is (8, 1)-vectorized (the old per-s scalar
+        scan was scalar-core-bound: ~10 scalar ops x S x D x chunks per
+        row).  The 8 rows of an s-block share one aligned (8, w_win)
+        window — the sheared offsets within a block drift by at most
+        7*|d|*slope lanes (monotonic in s), so a common base covers all
+        of them — and each row's residual shift r in [0, 128 + drift)
+        is applied as a BIT-DECOMPOSED chain of static lane-rolls
+        selected per sublane.  No dynamic rotates (and none of Mosaic's
+        dynamic-rotate width bugs), no scalar loop.
         """
-        rem = jax.lax.rem(start, 128)
-        base = start - rem
-        parts_a, parts_b = [], []
-        for j in range(Ux // 128):
-            win = epi_ref[0, c, pl.ds(s, 1),
-                          pl.ds(pl.multiple_of(base + j * 128, 128), 256)]
-            parts_a.append(pltpu.roll(win, -rem, axis=1)[:, :128])
-            parts_b.append(pltpu.roll(win, -(rem + 1), axis=1)[:, :128])
-        return (jnp.concatenate(parts_a, axis=1),
-                jnp.concatenate(parts_b, axis=1))
-
-    def gather_d(dval):
-        """Sheared gather of the full row for one candidate d.
-
-        Mosaic only allows 128-aligned dynamic slices on the lane dim:
-        load an aligned window around the offset and lane-rotate the
-        residue into place (tpu dynamic rotate).
-        """
-        def gather_s(s, _):
-            shift = (s_hat - s).astype(DTYPE) * dval * DTYPE(slope_factor)
-            i0 = jnp.floor(shift)
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
+            + j * 128
+        joff = PAD + j * 128
+        slope_c = DTYPE(slope_factor)
+        for b in range(n_blk):
+            s_vec = sub8 + b * 8
+            shift = (s_hat - s_vec).astype(DTYPE) * dval * slope_c
+            i0 = jnp.floor(shift)                       # (8, 1)
             t = shift - i0
             i0i = i0.astype(jnp.int32)
-            start = i0i + PAD
+            start = i0i + joff
+            # the shift line is monotonic in s: the block minimum is at
+            # one of the two endpoints (scalar arithmetic)
+            sh_lo = jnp.floor((s_hat - b * 8).astype(DTYPE)
+                              * dval * slope_c).astype(jnp.int32)
+            sh_hi = jnp.floor((s_hat - (b * 8 + 7)).astype(DTYPE)
+                              * dval * slope_c).astype(jnp.int32)
+            base0 = jnp.minimum(sh_lo, sh_hi) + joff
+            base = base0 - jax.lax.rem(base0, 128)
+            r = start - base                            # (8, 1) >= 0
+            for c in range(C):
+                x = epi_ref[c, b * 8:(b + 1) * 8,
+                            pl.ds(pl.multiple_of(base, 128), w_win)]
+                for bit in range(n_bits):
+                    # static roll must be non-negative: left-roll by k
+                    # == right-roll by (width - k)
+                    rolled = pltpu.roll(x, w_win - (1 << bit), axis=1)
+                    x = jnp.where(((r >> bit) & 1) == 1, rolled, x)
+                row_a = x[:, :128]
+                row_b = x[:, 1:129]
+                blend = (DTYPE(1.0) - t) * row_a + t * row_b
+                shear_c_ref[c, b * 8:(b + 1) * 8, :] = jnp.where(
+                    t == 0, row_a, blend)
             # validity interval: floor(u+shift) >= 0 and
             # ceil(u+shift) <= U-1  (ceil = i0i + (t > 0))
             ceil_off = i0i + (t > 0).astype(jnp.int32)
-            ok_row = jnp.logical_and(
-                lane_u >= -i0i,
-                lane_u <= (U - 1) - ceil_off)
-            ok_row = jnp.logical_and(ok_row, s < S)
-            valid_ref[pl.ds(s, 1), :] = ok_row.astype(DTYPE)
-            for c in range(C):
-                row_a, row_b = load_shifted_rows(c, s, start)
-                blend = (DTYPE(1.0) - t) * row_a + t * row_b
-                shear_ref[c, pl.ds(s, 1), :] = jnp.where(
-                    t == 0, row_a, blend)
-            return 0
+            ok = (lane128 >= -i0i) \
+                & (lane128 <= (U - 1) - ceil_off) \
+                & (s_vec < S)
+            valid_c_ref[b * 8:(b + 1) * 8, :] = ok.astype(DTYPE)
 
-        jax.lax.fori_loop(0, S_tot, gather_s, 0)
-
-    def ms_score(shear, validf, use_while, rbar0):
-        """Mean shift + score on a [S_tot, W] tile.
-
-        ``use_while`` picks the early-exit while (worth it row-wide,
-        where the scalar convergence check amortizes over the full
-        width) vs a fixed-count fori (better per-chunk: no per-
-        iteration scalar reduce/branch serialization).  Extra
-        iterations after the fixpoint are exact no-ops, so both are
-        bit-identical.
-        """
+    def ms_score(shear, validf, rbar0):
+        """Mean shift + score on a [S_tot, 128] tile, with an exact
+        early exit: iterations after the fixpoint reproduce K, the sums
+        and r_bar, so stopping there is bit-identical to the reference's
+        fixed count (core.hpp:566-610)."""
         W = validf.shape[1]
         r0 = [sh * validf for sh in shear]
         rpos = [jnp.maximum(r, 0.0) for r in r0]
@@ -213,171 +244,77 @@ def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
             return new_rbar, k
 
         k0 = jnp.zeros((S_tot, W), DTYPE)
-        if use_while:
-            def ms_cond(state):
-                it, _rb, _k, done = state
-                return jnp.logical_and(it < iters,
-                                       jnp.logical_not(done))
 
-            def ms_step(state):
-                it, rb, k, _done = state
-                new_rb, new_k = ms_iter((rb, k))
-                done = jnp.all(new_rb == rb)
-                return it + 1, new_rb, new_k, done
+        def ms_cond(state):
+            it, _rb, _k, done = state
+            return jnp.logical_and(it < iters, jnp.logical_not(done))
 
-            _, rbar_d, k_last, _ = jax.lax.while_loop(
-                ms_cond, ms_step, (jnp.int32(0), rbar0, k0, False))
-        else:
-            rbar_d, k_last = jax.lax.fori_loop(
-                0, iters, lambda _, st: ms_iter(st), (rbar0, k0))
+        def ms_step(state):
+            it, rb, k, _done = state
+            new_rb, new_k = ms_iter((rb, k))
+            done = jnp.all(new_rb == rb)
+            return it + 1, new_rb, new_k, done
+
+        _, rbar_d, k_last, _ = jax.lax.while_loop(
+            ms_cond, ms_step, (jnp.int32(0), rbar0, k0, False))
 
         # score from the LAST iteration's kernel values (core.hpp:612-622)
         sum_k = jnp.sum(k_last, axis=0, keepdims=True)
         score = jnp.where(card > 0, sum_k / card, 0.0)
         return score, rbar_d, k_last
 
-    # ---- adaptive granularity (decided once per row: flags are pass
-    # constants).  Fully-active rows run the ORIGINAL row-wide d-loop
-    # with register-carried argmax state; partially-active rows run
-    # chunk-gated with the state in the output refs, so claimed 128-lane
-    # chunks cost nothing — late passes have most chunks fully claimed
-    # (the dense analog of the reference's findNonZero sparsity).
-    n_act = flags_ref[row0]
-    for j in range(1, n_chunks):
-        n_act = n_act + flags_ref[row0 + j]
-    all_active = n_act == n_chunks
+    # chunk-gated sweep: claimed 128-lane chunks cost nothing — the
+    # dense analog of the reference's findNonZero sparsity
+    # (core.hpp:515-516).  Argmax state lives in the outbuf scratch so
+    # per-chunk updates under pl.when are plain read-modify-writes.
+    outbuf_ref[0:1, :] = jnp.full((1, Ux), -1.0, DTYPE)
+    outbuf_ref[1:2, :] = jnp.zeros((1, Ux), DTYPE)
+    outbuf_ref[2:3, :] = jnp.zeros((1, Ux), DTYPE)
+    outbuf_ref[3:3 + C, :] = jnp.zeros((C, Ux), DTYPE)
+    if with_k_best:
+        kbest_ref[:, :] = jnp.zeros((S_tot, Ux), DTYPE)
 
-    @pl.when(all_active)
-    def _row_wide():
-        def sweep_one_d(d, carry):
-            best_score, best_depth, score_sum, rbar, kbest = carry
-            dval = dvec_ref[0, d]
-            gather_d(dval)
-            validf = valid_ref[:, :]
-            shear = [shear_ref[c, :, :] for c in range(C)]
-            rbar0 = jnp.concatenate(
-                [shear_ref[c, pl.ds(s_hat, 1), :] for c in range(C)],
-                axis=0)                                  # [C, Ux]
-            score, rbar_d, k_last = ms_score(shear, validf, True, rbar0)
+    def sweep_one_d(d, _):
+        dval = dvec_ref[0, d]
 
-            better = score > best_score                  # [1, Ux]
-            best_score = jnp.where(better, score, best_score)
-            best_depth = jnp.where(better, dval, best_depth)
-            rbar = jnp.where(better, rbar_d, rbar)
-            if with_k_best:
-                kbest = jnp.where(better, k_last, kbest)
-            score_sum = score_sum + score
-            return best_score, best_depth, score_sum, rbar, kbest
+        def ms_chunk(j, _):
+            @pl.when(flags_ref[row0 + j] != 0)
+            def _chunk():
+                gather_chunk(dval, j)
+                sl = pl.ds(pl.multiple_of(j * 128, 128), 128)
+                validf = valid_c_ref[:, :]           # [S_tot, 128]
+                shear = [shear_c_ref[c, :, :] for c in range(C)]
+                # r_bar init: the s_hat row via an s-iota select
+                # (exact — single nonzero term; Mosaic can't mix a
+                # dynamic sublane index with a dynamic lane slice).
+                at_hat = (jax.lax.broadcasted_iota(
+                    jnp.int32, (S_tot, 1), 0) == s_hat).astype(DTYPE)
+                rbar0 = jnp.concatenate(
+                    [jnp.sum(sh * at_hat, axis=0, keepdims=True)
+                     for sh in shear], axis=0)       # [C, 128]
+                score, rbar_d, k_last = ms_score(shear, validf, rbar0)
 
-        kbest_init = jnp.zeros((S_tot, Ux) if with_k_best else (8, 128),
-                               DTYPE)
-        init = (
-            jnp.full((1, Ux), -1.0, DTYPE),
-            jnp.zeros((1, Ux), DTYPE),
-            jnp.zeros((1, Ux), DTYPE),
-            jnp.zeros((C, Ux), DTYPE),
-            kbest_init,
-        )
-        best_score, best_depth, score_sum, rbar, kbest = jax.lax.fori_loop(
-            0, dim_d, sweep_one_d, init)
-
-        best_score_ref[0, :, :] = best_score
-        score_sum_ref[0, :, :] = score_sum
-        best_depth_ref[0, :, :] = best_depth
-        rbar_ref[0, :, :] = rbar
-        if with_k_best:
-            kbest_ref[0, :, :] = kbest
-
-    def gather_chunk(dval, j, shear_c_ref, valid_c_ref):
-        """Sheared gather of ONE 128-lane chunk only (chunk-gated path):
-        the same per-s scan as gather_d but producing just chunk j's
-        lanes, so a row with one active chunk pays 1/n_chunks of the
-        gather.  Writes go to chunk-width scratch (static lane extent —
-        Mosaic can't store at a dynamic sublane index combined with a
-        dynamic lane offset)."""
-        lane_local = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) \
-            + j * 128
-
-        def gather_s(s, _):
-            shift = (s_hat - s).astype(DTYPE) * dval * DTYPE(slope_factor)
-            i0 = jnp.floor(shift)
-            t = shift - i0
-            i0i = i0.astype(jnp.int32)
-            start = i0i + PAD
-            ceil_off = i0i + (t > 0).astype(jnp.int32)
-            ok_row = jnp.logical_and(
-                lane_local >= -i0i,
-                lane_local <= (U - 1) - ceil_off)
-            ok_row = jnp.logical_and(ok_row, s < S)
-            valid_c_ref[pl.ds(s, 1), :] = ok_row.astype(DTYPE)
-            rem = jax.lax.rem(start, 128)
-            base = start - rem
-            for c in range(C):
-                win = epi_ref[0, c, pl.ds(s, 1),
-                              pl.ds(pl.multiple_of(base + j * 128, 128),
-                                    256)]
-                row_a = pltpu.roll(win, -rem, axis=1)[:, :128]
-                row_b = pltpu.roll(win, -(rem + 1), axis=1)[:, :128]
-                blend = (DTYPE(1.0) - t) * row_a + t * row_b
-                shear_c_ref[c, pl.ds(s, 1), :] = jnp.where(
-                    t == 0, row_a, blend)
+                prev = outbuf_ref[0:1, sl]
+                better = score > prev
+                outbuf_ref[0:1, sl] = jnp.where(
+                    better, score, prev)
+                prev_d = outbuf_ref[2:3, sl]
+                outbuf_ref[2:3, sl] = jnp.where(
+                    better, dval, prev_d)
+                prev_r = outbuf_ref[3:3 + C, sl]
+                outbuf_ref[3:3 + C, sl] = jnp.where(
+                    better, rbar_d, prev_r)
+                if with_k_best:
+                    prev_k = kbest_ref[:, sl]
+                    kbest_ref[:, sl] = jnp.where(
+                        better, k_last, prev_k)
+                outbuf_ref[1:2, sl] = outbuf_ref[1:2, sl] + score
             return 0
 
-        jax.lax.fori_loop(0, S_tot, gather_s, 0)
+        jax.lax.fori_loop(0, n_chunks, ms_chunk, 0)
+        return 0
 
-    @pl.when(jnp.logical_not(all_active))
-    def _chunked():
-        # argmax state lives in the OUTPUT refs so per-chunk updates
-        # under pl.when are plain read-modify-writes.
-        best_score_ref[0, :, :] = jnp.full((1, Ux), -1.0, DTYPE)
-        score_sum_ref[0, :, :] = jnp.zeros((1, Ux), DTYPE)
-        best_depth_ref[0, :, :] = jnp.zeros((1, Ux), DTYPE)
-        rbar_ref[0, :, :] = jnp.zeros((C, Ux), DTYPE)
-        if with_k_best:
-            kbest_ref[0, :, :] = jnp.zeros((S_tot, Ux), DTYPE)
-
-        def sweep_one_d(d, _):
-            dval = dvec_ref[0, d]
-
-            def ms_chunk(j, _):
-                @pl.when(flags_ref[row0 + j] != 0)
-                def _chunk():
-                    gather_chunk(dval, j, shear_c_ref, valid_c_ref)
-                    sl = pl.ds(pl.multiple_of(j * 128, 128), 128)
-                    validf = valid_c_ref[:, :]           # [S_tot, 128]
-                    shear = [shear_c_ref[c, :, :] for c in range(C)]
-                    # r_bar init: the s_hat row via an s-iota select
-                    # (exact — single nonzero term; Mosaic can't mix a
-                    # dynamic sublane index with a dynamic lane slice).
-                    at_hat = (jax.lax.broadcasted_iota(
-                        jnp.int32, (S_tot, 1), 0) == s_hat).astype(DTYPE)
-                    rbar0 = jnp.concatenate(
-                        [jnp.sum(sh * at_hat, axis=0, keepdims=True)
-                         for sh in shear], axis=0)       # [C, 128]
-                    score, rbar_d, k_last = ms_score(shear, validf, False,
-                                                     rbar0)
-
-                    prev = best_score_ref[0, 0:1, sl]
-                    better = score > prev
-                    best_score_ref[0, 0:1, sl] = jnp.where(
-                        better, score, prev)
-                    prev_d = best_depth_ref[0, 0:1, sl]
-                    best_depth_ref[0, 0:1, sl] = jnp.where(
-                        better, dval, prev_d)
-                    prev_r = rbar_ref[0, :, sl]
-                    rbar_ref[0, :, sl] = jnp.where(better, rbar_d, prev_r)
-                    if with_k_best:
-                        prev_k = kbest_ref[0, :, sl]
-                        kbest_ref[0, :, sl] = jnp.where(
-                            better, k_last, prev_k)
-                    score_sum_ref[0, 0:1, sl] = \
-                        score_sum_ref[0, 0:1, sl] + score
-                return 0
-
-            jax.lax.fori_loop(0, n_chunks, ms_chunk, 0)
-            return 0
-
-        jax.lax.fori_loop(0, dim_d, sweep_one_d, 0)
+    jax.lax.fori_loop(0, dim_d, sweep_one_d, 0)
 
 
 def prepare_padded_epis(epis_v_s_u_c, dmin: float, dmax: float,
@@ -392,12 +329,13 @@ def prepare_padded_epis(epis_v_s_u_c, dmin: float, dmax: float,
     """
     V, S, U, C = epis_v_s_u_c.shape
     max_abs_d = max(abs(dmin), abs(dmax))
+    w_win, _ = gather_window(dmin, dmax, slope_factor)
     # >= 128 so that per-pixel-kernel window starts stay non-negative
     pad_f = max(128, int(np.ceil(S * max_abs_d * slope_factor)) + 2)
     Ux = _round_up(U, 128)
     # max window end: base + Ux + 128 <= start_max + Ux + 128
     #               <= (pad_f + pad_f) + Ux + 128
-    right_needed = pad_f + (Ux - U) + pad_f + 256
+    right_needed = pad_f + (Ux - U) + pad_f + 128 + w_win
     U_tot = _round_up(pad_f + U + right_needed, 128)
     pad_right = U_tot - U - pad_f
     s_pad = _round_up(S, 8) - S
@@ -454,32 +392,31 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
     s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
 
     Ux = _round_up(U, 128)
+    w_win, n_bits = gather_window(dmin, dmax, params.slope_factor)
     kernel = functools.partial(
         _sweep_kernel, S=S, U=U, Ux=Ux, C=C, PAD=PAD, dim_d=dim_d,
         s_pad=s_pad,
         slope_factor=params.slope_factor, h=params.kernel_h,
-        iters=params.mean_shift_max_iter, with_k_best=with_k_best)
+        iters=params.mean_shift_max_iter, with_k_best=with_k_best,
+        w_win=w_win, n_bits=n_bits)
 
     kb_S = S_tot if with_k_best else 8
     kb_U = Ux if with_k_best else 128
+    R = 3 + C  # combined row block: score, score_sum, depth, rbar[C]
+    # EPI and outputs live in ANY memory space with MANUAL per-row DMA
+    # inside the kernel (active rows only) — the automatic block
+    # pipeline re-issues DMAs every grid step even for unchanged data-
+    # dependent block indices (~0.26 ms per no-op step at these sizes),
+    # which dominated late passes.  Inactive rows' output rows keep
+    # uninitialized garbage, which the drivers merge out through the
+    # active-pixel mask.
     out_shapes = [
-        jax.ShapeDtypeStruct((V, 1, Ux), DTYPE),       # best_score
-        jax.ShapeDtypeStruct((V, 1, Ux), DTYPE),       # score_sum
-        jax.ShapeDtypeStruct((V, 1, Ux), DTYPE),       # best_depth
-        jax.ShapeDtypeStruct((V, C, Ux), DTYPE),       # rbar
+        jax.ShapeDtypeStruct((V, R, Ux), DTYPE),       # combined
         jax.ShapeDtypeStruct((V, kb_S, kb_U), DTYPE),  # kbest
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, Ux), lambda i, f, r: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Ux), lambda i, f, r: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Ux), lambda i, f, r: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, Ux), lambda i, f, r: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kb_S, kb_U), lambda i, f, r: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
 
     n_chunks = Ux // 128
@@ -489,33 +426,34 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         flags = row_active.astype(jnp.int32)
         if flags.ndim == 1:
             flags = jnp.broadcast_to(flags[:, None], (V, n_chunks))
-    row_any = flags.max(axis=1)
     flags = flags.reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(V,),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, f, r: (0, 0),
+            pl.BlockSpec((1, 1), lambda i, f: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, dim_d), lambda i, f, r: (0, 0),
+            pl.BlockSpec((1, dim_d), lambda i, f: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, S_tot, U_tot), lambda i, f, r: (r[i], 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((C, S_tot, Ux), DTYPE),
-                        pltpu.VMEM((S_tot, Ux), DTYPE),
-                        pltpu.VMEM((C, S_tot, 128), DTYPE),
-                        pltpu.VMEM((S_tot, 128), DTYPE)],
+        scratch_shapes=[pltpu.VMEM((C, S_tot, U_tot), DTYPE),  # epi
+                        pltpu.VMEM((R, Ux), DTYPE),            # outbuf
+                        pltpu.VMEM((kb_S, kb_U), DTYPE),       # kbest
+                        pltpu.VMEM((C, S_tot, 128), DTYPE),    # shear
+                        pltpu.VMEM((S_tot, 128), DTYPE),       # valid
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
     )
 
-    best_score, score_sum, best_depth, rbar, kbest = pl.pallas_call(
+    out, kbest = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(flags, make_fetch_remap(row_any), s_hat_arr, dvec, epi_pad)
+    )(flags, s_hat_arr, dvec, epi_pad)
 
     if with_k_best:
         k_best = kbest[:, :S, :U]
@@ -523,9 +461,9 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
         k_best = jnp.zeros((V, S, U), DTYPE)
 
     return SweepResult(
-        best_score=best_score[:, 0, :U],
-        score_mean=score_sum[:, 0, :U] / DTYPE(dim_d),
-        best_depth=best_depth[:, 0, :U],
-        rbar=jnp.transpose(rbar[:, :, :U], (0, 2, 1)),
+        best_score=out[:, 0, :U],
+        score_mean=out[:, 1, :U] / DTYPE(dim_d),
+        best_depth=out[:, 2, :U],
+        rbar=out[:, 3:3 + C, :U].transpose(0, 2, 1),
         k_best=k_best,
     )

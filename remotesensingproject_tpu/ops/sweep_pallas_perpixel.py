@@ -40,65 +40,93 @@ from .sweep_pallas import (_round_up, make_fetch_remap,
                            prepare_padded_epis)
 
 
-def _sweep_pp_kernel(flags_ref, rowmap_ref, s_hat_ref, dmin_ref, dmax_ref,
-                     *rest, S: int, U: int, C: int, PAD: int, dim_d: int,
+def _sweep_pp_kernel(flags_ref, s_hat_ref, bounds_hbm_ref, epi_hbm_ref,
+                     out_hbm_ref, kbest_hbm_ref,
+                     epi_vmem, bounds_vmem, outbuf_ref, kbest_buf,
+                     shear_scr, reb_scr, cur_row_ref, sem_in, sem_out,
+                     *, S: int, U: int, C: int, PAD: int, dim_d: int,
                      s_pad: int, slope_factor: float, h: float,
                      iters: int, with_k_best: bool, U_tot: int,
                      masked: bool, interpret: bool):
-    """One (v, u-tile) cell: per-pixel-bounds sweep on 128 lanes."""
-    if masked:
-        pdmin_ref, pdmax_ref, epi_ref = rest[:3]
-        rest = rest[3:]
-    else:
-        pdmin_ref = pdmax_ref = None
-        epi_ref = rest[0]
-        rest = rest[1:]
-    (best_score_ref, score_sum_ref, best_depth_ref,
-     rbar_ref, kbest_ref, shear_scr, reb_scr) = rest
+    """One (v, u-tile) cell: per-pixel-bounds sweep on 128 lanes.
+
+    The EPI volume, the stacked bounds planes and the outputs live in
+    ANY/HBM memory space with MANUAL DMA under the activity gate (the
+    automatic block pipeline re-issues DMAs every grid step even for
+    unchanged data-dependent indices — ~0.26 ms per no-op step).  The
+    EPI row is fetched once per ACTIVE row, tracked across the
+    sequential grid with an SMEM cursor.
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
     n_tiles = pl.num_programs(1)
     run_tile = flags_ref[i * n_tiles + j] != 0
 
+    @pl.when(jnp.logical_and(i == 0, j == 0))
+    def _init():
+        cur_row_ref[0] = -1
+
     @pl.when(run_tile)
     def _run():
-        _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, pdmin_ref,
-                       pdmax_ref, epi_ref,
-                       best_score_ref, score_sum_ref, best_depth_ref,
-                       rbar_ref, kbest_ref, shear_scr, reb_scr,
+        @pl.when(cur_row_ref[0] != i)
+        def _fetch_row():
+            cp = pltpu.make_async_copy(epi_hbm_ref.at[i], epi_vmem,
+                                       sem_in)
+            cp.start()
+            cp.wait()
+            cur_row_ref[0] = i
+
+        TU = 128
+        cb = pltpu.make_async_copy(
+            bounds_hbm_ref.at[i, :, pl.ds(j * TU, TU)], bounds_vmem,
+            sem_in)
+        cb.start()
+        cb.wait()
+        _sweep_pp_body(j, s_hat_ref, bounds_vmem, epi_vmem,
+                       outbuf_ref, kbest_buf, shear_scr, reb_scr,
                        S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
                        slope_factor=slope_factor, h=h, iters=iters,
                        with_k_best=with_k_best, U_tot=U_tot,
-                       interpret=interpret)
+                       masked=masked, interpret=interpret)
+        co = pltpu.make_async_copy(
+            outbuf_ref, out_hbm_ref.at[i, :, pl.ds(j * TU, TU)],
+            sem_out)
+        co.start()
+        if with_k_best:
+            ck = pltpu.make_async_copy(
+                kbest_buf, kbest_hbm_ref.at[i, :, pl.ds(j * TU, TU)],
+                sem_in)
+            ck.start()
+            ck.wait()
+        co.wait()
 
 
-def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, pdmin_ref, pdmax_ref,
-                   epi_ref,
-                   best_score_ref, score_sum_ref, best_depth_ref,
-                   rbar_ref, kbest_ref, shear_scr, reb_scr, *,
+def _sweep_pp_body(j, s_hat_ref, bounds_vmem, epi_ref,
+                   outbuf_ref, kbest_ref, shear_scr, reb_scr, *,
                    S: int, U: int, C: int, PAD: int, dim_d: int,
                    s_pad: int, slope_factor: float, h: float,
                    iters: int, with_k_best: bool, U_tot: int,
-                   interpret: bool = False):
+                   masked: bool, interpret: bool = False):
+    # bounds_vmem rows: 0 dmin, 1 dmax (+ 2 pdmin, 3 pdmax when masked)
+    # outbuf rows: 0 best_score, 1 score_sum, 2 best_depth, 3:3+C rbar
     TU = 128
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
     S_tot = S + s_pad
-    masked = pdmin_ref is not None
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TU), 1)
     upos_i = j * TU + lane                      # global u (int)
     upos = upos_i.astype(DTYPE)
-    dmin_u = dmin_ref[0, 0:1, :]                # (1, TU)
-    dmax_u = dmax_ref[0, 0:1, :]
+    dmin_u = bounds_vmem[0:1, :]                # (1, TU)
+    dmax_u = bounds_vmem[1:2, :]
     drange = dmax_u - dmin_u
     if masked:
         # allowed-candidate interval, padded by one grid step so every
         # pixel keeps at least one candidate even when its own range
         # falls between two grid points of the (wider) tile grid
         tol = drange / DTYPE(dim_d - 1)
-        pd_lo = pdmin_ref[0, 0:1, :] - tol
-        pd_hi = pdmax_ref[0, 0:1, :] + tol
+        pd_lo = bounds_vmem[2:3, :] - tol
+        pd_hi = bounds_vmem[3:4, :] + tol
 
     s_col = jax.lax.broadcasted_iota(jnp.int32, (S_tot, 1), 0)
     ds_col = (s_hat - s_col).astype(DTYPE)      # (S_tot, 1)
@@ -177,7 +205,7 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, pdmin_ref, pdmax_ref,
                 for c in range(C):
                     chunks = []
                     for jj in range(2):
-                        win = epi_ref[0, c, pl.ds(b * 8, 8),
+                        win = epi_ref[c, pl.ds(b * 8, 8),
                                       pl.ds(pl.multiple_of(
                                           base + jj * 128, 128), 256)]
                         chunks.append(
@@ -223,7 +251,7 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, pdmin_ref, pdmax_ref,
                 base = pl.multiple_of(start - rem, 128)
                 rows = []
                 for c in range(C):
-                    win = epi_ref[0, c, pl.ds(0, S_tot), pl.ds(base, 256)]
+                    win = epi_ref[c, pl.ds(0, S_tot), pl.ds(base, 256)]
                     rows.append(pltpu.roll(win, -rem, axis=1)[:, :TU])
                 hit_a = krel == k
                 hit_b = krel == k - 1
@@ -313,18 +341,18 @@ def _sweep_pp_body(j, s_hat_ref, dmin_ref, dmax_ref, pdmin_ref, pdmax_ref,
     (best_score, best_depth, score_sum, n_allowed, rbar,
      kbest) = jax.lax.fori_loop(0, dim_d, sweep_one_d, init)
 
-    best_score_ref[0, 0, :] = best_score[0]
+    outbuf_ref[0:1, :] = best_score
     if masked:
         # the wrapper's score_mean divides by dim_d: pre-scale so the
         # mean is over the ALLOWED candidates only (tol guarantees >= 1)
-        score_sum_ref[0, 0, :] = (score_sum[0] * DTYPE(dim_d)
-                                  / jnp.maximum(n_allowed[0], 1.0))
+        outbuf_ref[1:2, :] = (score_sum * DTYPE(dim_d)
+                              / jnp.maximum(n_allowed, 1.0))
     else:
-        score_sum_ref[0, 0, :] = score_sum[0]
-    best_depth_ref[0, 0, :] = best_depth[0]
-    rbar_ref[0, :, :] = rbar
+        outbuf_ref[1:2, :] = score_sum
+    outbuf_ref[2:3, :] = best_depth
+    outbuf_ref[3:3 + C, :] = rbar
     if with_k_best:
-        kbest_ref[0, :, :] = kbest
+        kbest_ref[:, :] = kbest
 
 
 def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
@@ -433,62 +461,53 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         interpret=interpret)
 
     kb_S = S_tot if with_k_best else 8
+    R = 3 + C
+    B = 4 if masked else 2
+    # stacked bounds planes [V, B, Upad]: one manual DMA per active tile
+    bounds = jnp.concatenate(
+        [dmin_p, dmax_p] + ([pdmin_p, pdmax_p] if masked else []),
+        axis=1)
+    # EPI, bounds and outputs in ANY memory space with MANUAL DMA under
+    # the activity gate (see _sweep_pp_kernel docstring); inactive
+    # tiles' output slices keep uninitialized garbage, which callers
+    # merge out through the active-pixel mask.
     out_shapes = [
-        jax.ShapeDtypeStruct((V, 1, Upad), DTYPE),
-        jax.ShapeDtypeStruct((V, 1, Upad), DTYPE),
-        jax.ShapeDtypeStruct((V, 1, Upad), DTYPE),
-        jax.ShapeDtypeStruct((V, C, Upad), DTYPE),
+        jax.ShapeDtypeStruct((V, R, Upad), DTYPE),
         jax.ShapeDtypeStruct((V, kb_S, Upad if with_k_best else TU),
                              DTYPE),
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, C, TU), lambda i, j, f, r: (i, 0, j),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kb_S, TU),
-                     (lambda i, j, f, r: (i, 0, j)) if with_k_best
-                     else (lambda i, j, f, r: (i, 0, 0)),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
     ]
-
-    bounds_spec = pl.BlockSpec((1, 1, TU), lambda i, j, f, r: (i, 0, j),
-                               memory_space=pltpu.VMEM)
-    in_specs = [
-        pl.BlockSpec((1, 1), lambda i, j, f, r: (0, 0),
-                     memory_space=pltpu.SMEM),
-        bounds_spec,
-        bounds_spec,
-    ]
-    operands = [s_hat_arr, dmin_p, dmax_p]
-    if masked:
-        in_specs += [bounds_spec, bounds_spec]
-        operands += [pdmin_p, pdmax_p]
-    in_specs.append(
-        pl.BlockSpec((1, C, S_tot, U_tot), lambda i, j, f, r: (r[i], 0, 0, 0),
-                     memory_space=pltpu.VMEM))
-    operands.append(epi_pad)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(V, n_tiles),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, f: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # bounds
+            pl.BlockSpec(memory_space=pltpu.ANY),   # epi
+        ],
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((C, S_tot, TU), DTYPE),
-                        pltpu.VMEM((C, S_tot, 384), DTYPE)],
+        scratch_shapes=[pltpu.VMEM((C, S_tot, U_tot), DTYPE),  # epi row
+                        pltpu.VMEM((B, TU), DTYPE),            # bounds
+                        pltpu.VMEM((R, TU), DTYPE),            # outbuf
+                        pltpu.VMEM((kb_S, TU), DTYPE),         # kbest
+                        pltpu.VMEM((C, S_tot, TU), DTYPE),     # shear
+                        pltpu.VMEM((C, S_tot, 384), DTYPE),    # rebase
+                        pltpu.SMEM((1,), jnp.int32),           # cur row
+                        pltpu.SemaphoreType.DMA,
+                        pltpu.SemaphoreType.DMA],
     )
 
-    best_score, score_sum, best_depth, rbar, kbest = pl.pallas_call(
+    out, kbest = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         interpret=interpret,
-    )(flags, make_fetch_remap(flags.reshape(V, n_tiles).max(axis=1)),
-      *operands)
+    )(flags, s_hat_arr, bounds, epi_pad)
 
     if with_k_best:
         k_best = kbest[:, :S, :U]
@@ -496,9 +515,9 @@ def sweep_pile_pallas_perpixel(epis_v_s_u_c, dmin_v_u, dmax_v_u,
         k_best = jnp.zeros((V, S, U), DTYPE)
 
     return SweepResult(
-        best_score=best_score[:, 0, :U],
-        score_mean=score_sum[:, 0, :U] / DTYPE(dim_d),
-        best_depth=best_depth[:, 0, :U],
-        rbar=jnp.transpose(rbar[:, :, :U], (0, 2, 1)),
+        best_score=out[:, 0, :U],
+        score_mean=out[:, 1, :U] / DTYPE(dim_d),
+        best_depth=out[:, 2, :U],
+        rbar=out[:, 3:3 + C, :U].transpose(0, 2, 1),
         k_best=k_best,
     )

@@ -55,3 +55,13 @@ def volume_from_local(local_epis_v_s_u_c, total_v: int, mesh: Mesh):
     sharding = NamedSharding(mesh, P(V_AXIS, None, None, None))
     return jax.make_array_from_process_local_data(
         sharding, np.asarray(local_epis_v_s_u_c), shape)
+
+
+def planes_from_local(local_s_v_u, total_v: int, mesh: Mesh):
+    """Assemble global [S, V, U(, C)] state planes (v on axis 1) from
+    this host's [S, local_V, U(, C)] block."""
+    shape = (local_s_v_u.shape[0], total_v) + tuple(
+        local_s_v_u.shape[2:])
+    spec = P(None, V_AXIS, *([None] * (local_s_v_u.ndim - 2)))
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(local_s_v_u), shape)

@@ -3,17 +3,17 @@
 Runs the complete 2-D propagation pipeline with every state plane
 v-sharded (parallel/sharding.py) — the multi-chip / multi-host execution
 of BASELINE configs 4-5.  Numerically identical to the single-device
-driver (verified in tests): the sweep and propagation are shard-local,
-the selective median exchanges row halos, the early-stop count is a
-psum.
-
-The default score version ("edge") is supported; line/disp variants run
-on the single-device driver.
+driver (verified in tests): it runs the single-device driver's exact
+pass logic (models.depth2d._pass_fn) per shard inside shard_map — so
+every score version (edge/disp/line), interpolation, sweep engine and
+coarse mode is supported — with the selective median exchanging row
+halos and the early-stop count psum'd.  Like the single-device driver,
+the whole center-outward schedule executes in ONE donated dispatch.
 """
 
 from __future__ import annotations
 
-import functools
+import time
 from typing import Optional
 
 import jax
@@ -26,20 +26,18 @@ from ..ops.edge_confidence import edge_confidence_volume
 from ..ops.normalize import normalize_volume
 from ..models.depth2d import Depth2DState, center_outward_schedule
 from .mesh import make_mesh
-from .sharding import shard_planes, shard_volume, sharded_pass
+from .sharding import shard_planes, shard_volume, sharded_schedule
 
 
 class ShardedDepth2DComputer:
-    """Mesh-parallel Depth2DComputer (edge score version)."""
+    """Mesh-parallel Depth2DComputer (all score versions)."""
 
     def __init__(self, epis_v_s_u_c, dmin: float, dmax: float,
                  dim_d: int, mesh=None, epi_scale_factor: float = -1.0,
                  params: DepthParams = DEFAULT_PARAMS,
                  verbose: bool = False, early_stop: bool = True,
-                 use_pallas: Optional[bool] = None):
-        if params.score_version != "edge":
-            raise NotImplementedError(
-                "sharded driver supports the default edge score version")
+                 use_pallas: Optional[bool] = None,
+                 coarse_mode: str = "tile"):
         if mesh is None:
             mesh = make_mesh()
         self.mesh = mesh
@@ -63,6 +61,7 @@ class ShardedDepth2DComputer:
         self.params = params
         self.verbose = verbose
         self.early_stop = early_stop
+        self.coarse_mode = coarse_mode
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
@@ -101,40 +100,49 @@ class ShardedDepth2DComputer:
         ce = shard_planes(jnp.transpose(ce_vsu, (1, 0, 2)), mesh)
         ce_mask = shard_planes(jnp.transpose(mask_vsu, (1, 0, 2)), mesh)
 
-        claim = shard_planes(ce_mask.copy(), mesh)
-        best_depth = shard_planes(jnp.zeros((S, V, U), DTYPE), mesh)
-        disp_conf = shard_planes(jnp.zeros((S, V, U), DTYPE), mesh)
-        rbar = shard_planes(jnp.zeros((S, V, U, C), DTYPE), mesh)
+        state = Depth2DState(
+            ce=ce,
+            ce_mask=ce_mask,
+            disp_conf=shard_planes(jnp.zeros((S, V, U), DTYPE), mesh),
+            line_conf=shard_planes(jnp.zeros((S, V, U), DTYPE), mesh),
+            best_depth=shard_planes(jnp.zeros((S, V, U), DTYPE), mesh),
+            rbar=shard_planes(jnp.zeros((S, V, U, C), DTYPE), mesh),
+            claim=shard_planes(ce_mask.copy(), mesh),
+        )
 
-        pass_fn = sharded_pass(mesh, self.dim_d, self.params,
-                               (self.dmin, self.dmax),
-                               use_pallas=self.use_pallas,
-                               uniform_bounds=not self._bounds_edited)
+        use_pallas_path = (self.use_pallas
+                           and self.params.interpolation == "linear")
+        if use_pallas_path:
+            from ..ops.sweep_pallas import prepare_padded_epis
+            epis_padded, pad_f, s_pad = prepare_padded_epis(
+                self.epis, self.dmin, self.dmax,
+                self.params.slope_factor)
+            pad_static = (int(pad_f), int(s_pad))
+        else:
+            epis_padded = jnp.zeros((1,), DTYPE)
+            pad_static = None
 
-        def plane(x, s):
-            return jax.lax.dynamic_index_in_dim(x, s, 0, keepdims=False)
+        fwd = sharded_schedule(
+            mesh, self.dim_d, self.params, (self.dmin, self.dmax),
+            use_pallas=self.use_pallas,
+            uniform_bounds=not self._bounds_edited,
+            early_stop=self.early_stop,
+            pad_static=pad_static,
+            coarse_mode=self.coarse_mode)
 
-        for i, s_hat in enumerate(center_outward_schedule(S)):
-            sh = jnp.int32(s_hat)
-            (ce_new, mask_new, claim, best_depth, disp_conf, rbar,
-             remaining) = pass_fn(
-                self.epis, frames, plane(self.dmin_s_v_u, sh),
-                plane(self.dmax_s_v_u, sh),
-                plane(ce, sh), plane(ce_mask, sh), claim, best_depth,
-                disp_conf, rbar, sh)
-            ce = jax.lax.dynamic_update_index_in_dim(ce, ce_new, sh, 0)
-            ce_mask = jax.lax.dynamic_update_index_in_dim(
-                ce_mask, mask_new, sh, 0)
-            if self.verbose:
-                print(f"pass {i + 1}: s_hat={s_hat}")
-            if self.early_stop and int(remaining) == 0:
-                break
-
-        self.state = Depth2DState(
-            ce=ce, ce_mask=ce_mask, disp_conf=disp_conf,
-            line_conf=jnp.zeros((S, V, U), DTYPE),
-            best_depth=best_depth, rbar=rbar, claim=claim)
+        schedule = jnp.asarray(center_outward_schedule(S), jnp.int32)
+        t0 = time.time()
+        state, n_done, remaining = fwd(
+            self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
+            epis_padded, state, schedule)
+        self.state = jax.block_until_ready(state)
+        if self.verbose:
+            print(f"sharded schedule: {int(n_done)}/{len(schedule)} "
+                  f"passes, remaining px {int(remaining)} "
+                  f"({time.time() - t0:.1f}s)")
         return self.state
+
+    # -- getters mirroring the single-device driver ---------------------
 
     def get_depths_s_v_u(self):
         return self.state.best_depth[:, :self._orig_v]
@@ -142,8 +150,15 @@ class ShardedDepth2DComputer:
     def get_valid_depths_mask_s_v_u(self):
         if self.accept_all:
             return jnp.ones(self.state.ce.shape, bool)[:, :self._orig_v]
+        p = self.params
+        if p.score_version == "disp":
+            return (self.state.disp_conf
+                    > p.disp_score_threshold)[:, :self._orig_v]
+        if p.score_version == "line":
+            return (self.state.line_conf
+                    > p.line_score_threshold)[:, :self._orig_v]
         return (self.state.ce
-                > self.params.edge_score_threshold)[:, :self._orig_v]
+                > p.edge_score_threshold)[:, :self._orig_v]
 
     def get_epis(self):
         return self.epis[:self._orig_v]

@@ -141,7 +141,8 @@ def _sharded_pass_body(epis, frames, dmin_v_u, dmax_v_u,
     claim, (best_depth, disp_conf) = propagate(
         claim, frames, filtered, rbar_new, mask_new, s_hat, d_bounds,
         params.slope_factor, params.propagation_epsilon,
-        payloads=((best_depth, filtered), (disp_conf, conf_new)))
+        payloads=((best_depth, filtered), (disp_conf, conf_new)),
+        dim_d=dim_d if uniform_bounds else 0)
 
     remaining = jax.lax.psum(
         jnp.sum((mask_new & claim_plane(claim, s_hat)).astype(jnp.int32)),
@@ -156,6 +157,55 @@ def claim_plane(x, s_hat):
 
 def set_plane(x, s_hat, plane):
     return jax.lax.dynamic_update_index_in_dim(x, plane, s_hat, 0)
+
+
+def sharded_schedule(mesh: Mesh, dim_d: int, params: DepthParams,
+                     d_bounds: Tuple[float, float],
+                     use_pallas: bool = False,
+                     uniform_bounds: bool = True,
+                     early_stop: bool = True,
+                     pad_static=None,
+                     coarse_mode: str = "tile"):
+    """Build the jitted shard_map'd FULL-SCHEDULE runner.
+
+    Runs the single-device driver's exact pass logic
+    (models.depth2d._pass_fn — sweep engine selection, line/disp score
+    versions, coarse modes and all) per v-shard inside shard_map, with
+    the ppermute-halo selective median and a psum'd early-stop count,
+    for the whole center-outward schedule in ONE dispatch.
+
+    Returns fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
+    state: Depth2DState, s_hats) -> (state, n_done, remaining), with the
+    input state buffers donated.
+    """
+    import functools as _ft
+
+    from ..models.depth2d import Depth2DState, _schedule_fn
+
+    def median_fn(src, frame, mask, size, epsilon):
+        return selective_median_sharded(src, frame, mask, size, epsilon)
+
+    body = _ft.partial(
+        _schedule_fn, dim_d=dim_d, params=params, d_bounds=d_bounds,
+        use_pallas=use_pallas, uniform_bounds=uniform_bounds,
+        pad_static=pad_static, coarse_mode=coarse_mode,
+        early_stop=early_stop, median_fn=median_fn, axis_name=V_AXIS)
+
+    vs = P(V_AXIS, None, None, None)          # epis [V, S, U, C]
+    sv = P(None, V_AXIS, None)                # [S, V, U]
+    svc = P(None, V_AXIS, None, None)         # [S, V, U, C]
+    rep = P()
+    state_spec = Depth2DState(ce=sv, ce_mask=sv, disp_conf=sv,
+                              line_conf=sv, best_depth=sv, rbar=svc,
+                              claim=sv)
+    pad_spec = vs if pad_static is not None else rep
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(vs, svc, sv, sv, pad_spec, state_spec, rep),
+        out_specs=(state_spec, rep, rep),
+        check_vma=False)
+    return jax.jit(fn, donate_argnums=(5,))
 
 
 def sharded_pass(mesh: Mesh, dim_d: int, params: DepthParams,

@@ -1,5 +1,7 @@
 """Microbenchmark the per-pass components at level-0 bench scale."""
 
+import os
+import sys
 import time
 
 import numpy as np
@@ -19,7 +21,16 @@ gmin, gmax = -1.0, 4.0
 params = DepthParams(slope_factor=1.0)
 
 rng = np.random.default_rng(0)
-epis = jnp.asarray(rng.random((V, S, U, C), dtype=np.float32))
+if os.environ.get("BENCH_STRUCTURED") == "1":
+    # layered scene like the real bench: mean-shift converges slowly
+    # (random noise converges in 1-2 iterations and under-states cost)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import synthetic_sequence
+    epis = jnp.transpose(synthetic_sequence(S, V, U), (1, 0, 2, 3))
+    epis = epis / jnp.max(epis)
+else:
+    epis = jnp.asarray(rng.random((V, S, U, C), dtype=np.float32))
 frames = jnp.transpose(epis, (1, 0, 2, 3))
 padded = prepare_padded_epis(epis, gmin, gmax, params.slope_factor)
 padded = (jax.block_until_ready(padded[0]), padded[1], padded[2])
@@ -77,5 +88,21 @@ dscaled = jnp.asarray(
 prop = jax.jit(lambda c, dv, cf, dd, rb, sm, s: propagate(
     c, frames, dd, rb, sm, s, (gmin, gmax), params.slope_factor,
     params.propagation_epsilon, [(dv, dd), (cf, dd)]))
-timeit("propagation", prop, claim, depth_vol, conf, dscaled, rbar,
-       smask, jnp.int32(50))
+timeit("propagation dense (off-grid depths)", prop, claim, depth_vol,
+       conf, dscaled, rbar, smask, jnp.int32(50))
+
+# real sweep outputs lie on the candidate grid — measure the
+# present-offsets bucket path with a layered-scene-like depth histogram
+from remotesensingproject_tpu.ops.propagation import candidate_offsets
+bvals = candidate_offsets((gmin, gmax), D, params.slope_factor)
+layers = jnp.asarray(rng.integers(0, 6, (V, U)) * (D // 6), jnp.int32)
+dgrid = bvals[layers] / params.slope_factor
+prop_b = jax.jit(lambda c, dv, cf, dd, rb, sm, s: propagate(
+    c, frames, dd, rb, sm, s, (gmin, gmax), params.slope_factor,
+    params.propagation_epsilon, [(dv, dd), (cf, dd)], dim_d=D))
+timeit("propagation buckets (6 grid depths)", prop_b, claim, depth_vol,
+       conf, dgrid, rbar, smask, jnp.int32(50))
+layers2 = jnp.asarray(rng.integers(0, D, (V, U)), jnp.int32)
+dgrid2 = bvals[layers2] / params.slope_factor
+timeit("propagation buckets (all grid depths)", prop_b, claim,
+       depth_vol, conf, dgrid2, rbar, smask, jnp.int32(50))

@@ -101,6 +101,36 @@ def test_sharded_driver_matches_single_device():
                        np.asarray(ss.disp_conf), atol=1e-5)
 
 
+@pytest.mark.parametrize("version", ["disp", "line"])
+def test_sharded_driver_score_versions(version):
+    """line/disp score versions run sharded and match single-device."""
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+    from remotesensingproject_tpu.parallel.driver import (
+        ShardedDepth2DComputer)
+
+    vol, _ = oracle.make_synthetic_lf(S=6, V=16, U=24, C=1, n_objects=3,
+                                      seed=17, dmin=-1.0, dmax=1.5)
+    params = DepthParams(score_version=version)
+    single = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                             params=params, use_pallas=False,
+                             early_stop=False)
+    ss = single.run()
+    sharded = ShardedDepth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                                     params=params, use_pallas=False,
+                                     early_stop=False)
+    sh = sharded.run()
+    assert np.allclose(np.asarray(sh.best_depth),
+                       np.asarray(ss.best_depth), atol=1e-6)
+    assert (np.asarray(sh.claim) == np.asarray(ss.claim)).all()
+    assert np.allclose(np.asarray(sh.disp_conf),
+                       np.asarray(ss.disp_conf), atol=1e-5)
+    if version == "line":
+        assert np.allclose(np.asarray(sh.line_conf),
+                           np.asarray(ss.line_conf), atol=1e-5)
+    assert (np.asarray(sharded.get_valid_depths_mask_s_v_u())
+            == np.asarray(single.get_valid_depths_mask_s_v_u())).all()
+
+
 def test_sharded_fine_to_coarse_matches_single():
     from remotesensingproject_tpu.config import PyramidParams
     from remotesensingproject_tpu.models.fine_to_coarse import FineToCoarse

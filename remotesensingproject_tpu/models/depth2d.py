@@ -133,7 +133,20 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     padded = None
     if pad_static is not None:
         padded = (epis_padded, pad_static[0], pad_static[1])
-    if use_pallas and uniform_bounds and params.interpolation == "linear":
+    if (use_pallas and params.interpolation == "linear" and C == 1
+            and not with_k):
+        # pixel-compacted kernel: cost scales with the ACTIVE pixel
+        # count (late passes leave spread-out survivors that keep every
+        # 128-lane chunk of the dense kernels alive).  Bounds-edited
+        # levels pass the per-pixel grids — the reference's EXACT
+        # semantics (no tile quantization).
+        from ..ops.sweep_pallas_pixel import sweep_pile_pallas_pixel
+        res = sweep_pile_pallas_pixel(
+            epis, d_bounds[0], d_bounds[1], dim_d, s_hat, params,
+            active_v_u=active, padded=padded, interpret=interp,
+            dmin_v_u=None if uniform_bounds else dmin_v_u,
+            dmax_v_u=None if uniform_bounds else dmax_v_u)
+    elif use_pallas and uniform_bounds and params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
         n_tiles = -(-U // 128)
         act_pad = jnp.pad(active, ((0, 0), (0, n_tiles * 128 - U)))

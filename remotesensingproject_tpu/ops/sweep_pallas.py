@@ -60,16 +60,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def gather_window(dmin: float, dmax: float, slope_factor: float):
-    """(w_win, n_bits) for the s-blocked gather: the aligned window must
-    cover the 128-lane alignment residue plus the in-block shift drift
-    (7 * max|d| * slope) plus the 129 lanes of the linear blend."""
-    maxabs = max(abs(dmin), abs(dmax))
-    drift = int(np.floor(7 * maxabs * slope_factor)) + 1
-    r_max = 127 + drift
-    w_win = _round_up(r_max + 1 + 129, 128)
-    n_bits = max(1, int(np.ceil(np.log2(r_max + 1))))
-    return w_win, n_bits
+def gather_window(pad: int):
+    """Number of 128-lane groups the per-lane gather can touch: with the
+    chunk window based at j*128, sample indices span
+    [2, 2*PAD + 126] (+1 for the blend's ceil sample)."""
+    return _round_up(2 * pad + 127, 128) // 128
 
 
 def make_fetch_remap(flags):
@@ -89,11 +84,11 @@ def make_fetch_remap(flags):
 def _sweep_kernel(flags_ref, s_hat_ref, dvec_ref, epi_hbm_ref,
                   out_hbm_ref, kbest_hbm_ref,
                   epi_vmem, outbuf_ref, kbest_ref,
-                  shear_c_ref, valid_c_ref, sem_in, sem_out, *,
+                  shear_c_ref, valid_c_ref, ga_ref, gb_ref,
+                  sem_in, sem_out, *,
                   S: int, U: int, Ux: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
-                  iters: int, with_k_best: bool, w_win: int,
-                  n_bits: int):
+                  iters: int, with_k_best: bool, n_grp: int):
     """One EPI row: full (d, mean-shift) sweep.  See module docstring.
 
     ``Ux`` is the 128-aligned compute width (>= U); surplus lanes compute
@@ -132,11 +127,11 @@ def _sweep_kernel(flags_ref, s_hat_ref, dvec_ref, epi_hbm_ref,
         copy_in.wait()
         _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_vmem,
                         outbuf_ref, kbest_ref,
-                        shear_c_ref, valid_c_ref, S=S, U=U, Ux=Ux,
+                        shear_c_ref, valid_c_ref, ga_ref, gb_ref,
+                        S=S, U=U, Ux=Ux,
                         C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
                         slope_factor=slope_factor, h=h, iters=iters,
-                        with_k_best=with_k_best, w_win=w_win,
-                        n_bits=n_bits)
+                        with_k_best=with_k_best, n_grp=n_grp)
         copy_out = pltpu.make_async_copy(outbuf_ref, out_hbm_ref.at[i],
                                          sem_out)
         copy_out.start()
@@ -150,11 +145,11 @@ def _sweep_kernel(flags_ref, s_hat_ref, dvec_ref, epi_hbm_ref,
 
 def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
                     outbuf_ref, kbest_ref,
-                    shear_c_ref, valid_c_ref, *,
+                    shear_c_ref, valid_c_ref, ga_ref, gb_ref, *,
                     S: int, U: int, Ux: int, C: int, PAD: int,
                     dim_d: int, s_pad: int, slope_factor: float,
                     h: float, iters: int, with_k_best: bool,
-                    w_win: int, n_bits: int):
+                    n_grp: int):
     # outbuf rows: 0 best_score, 1 score_sum, 2 best_depth, 3:3+C rbar
     s_hat = s_hat_ref[0, 0]
     a = DTYPE(chan_scale(C) / (h * h))
@@ -165,58 +160,69 @@ def _sweep_row_body(i, flags_ref, s_hat_ref, dvec_ref, epi_ref,
     sub8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
 
     def gather_chunk(dval, j):
-        """Sheared gather of one 128-lane chunk, 8 s-rows per step.
+        """Sheared gather of one 128-lane chunk for candidate d.
 
-        All per-s arithmetic is (8, 1)-vectorized (the old per-s scalar
-        scan was scalar-core-bound: ~10 scalar ops x S x D x chunks per
-        row).  The 8 rows of an s-block share one aligned (8, w_win)
-        window — the sheared offsets within a block drift by at most
-        7*|d|*slope lanes (monotonic in s), so a common base covers all
-        of them — and each row's residual shift r in [0, 128 + drift)
-        is applied as a BIT-DECOMPOSED chain of static lane-rolls
-        selected per sublane.  No dynamic rotates (and none of Mosaic's
-        dynamic-rotate width bugs), no scalar loop.
+        For chunk j the window is based at lane j*128 of the padded EPI
+        (the left pad is PAD >= max |shift| + 2), so every sample index
+        idx = floor(shift) + PAD + lane lies in (0, 2*PAD + 127).  The
+        window is processed in 128-lane GROUPS with Mosaic's native
+        per-lane dynamic gather (take_along_axis within one vreg
+        group — wider gathers don't lower); groups the [idx_lo, idx_hi]
+        interval of this (d, chunk) cannot touch are skipped with a
+        scalar branch, so the cost scales with |d|*slope*S instead of
+        the worst case.  All per-s arithmetic is (S_tot, 1)-vectorized.
         """
-        lane128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1) \
-            + j * 128
-        joff = PAD + j * 128
+        lane = jax.lax.broadcasted_iota(jnp.int32, (S_tot, 128), 1)
+        lane_g = lane + j * 128                      # global u
+        s_col = jax.lax.broadcasted_iota(jnp.int32, (S_tot, 1), 0)
         slope_c = DTYPE(slope_factor)
-        for b in range(n_blk):
-            s_vec = sub8 + b * 8
-            shift = (s_hat - s_vec).astype(DTYPE) * dval * slope_c
-            i0 = jnp.floor(shift)                       # (8, 1)
-            t = shift - i0
-            i0i = i0.astype(jnp.int32)
-            start = i0i + joff
-            # the shift line is monotonic in s: the block minimum is at
-            # one of the two endpoints (scalar arithmetic)
-            sh_lo = jnp.floor((s_hat - b * 8).astype(DTYPE)
-                              * dval * slope_c).astype(jnp.int32)
-            sh_hi = jnp.floor((s_hat - (b * 8 + 7)).astype(DTYPE)
-                              * dval * slope_c).astype(jnp.int32)
-            base0 = jnp.minimum(sh_lo, sh_hi) + joff
-            base = base0 - jax.lax.rem(base0, 128)
-            r = start - base                            # (8, 1) >= 0
-            for c in range(C):
-                x = epi_ref[c, b * 8:(b + 1) * 8,
-                            pl.ds(pl.multiple_of(base, 128), w_win)]
-                for bit in range(n_bits):
-                    # static roll must be non-negative: left-roll by k
-                    # == right-roll by (width - k)
-                    rolled = pltpu.roll(x, w_win - (1 << bit), axis=1)
-                    x = jnp.where(((r >> bit) & 1) == 1, rolled, x)
-                row_a = x[:, :128]
-                row_b = x[:, 1:129]
-                blend = (DTYPE(1.0) - t) * row_a + t * row_b
-                shear_c_ref[c, b * 8:(b + 1) * 8, :] = jnp.where(
-                    t == 0, row_a, blend)
-            # validity interval: floor(u+shift) >= 0 and
-            # ceil(u+shift) <= U-1  (ceil = i0i + (t > 0))
-            ceil_off = i0i + (t > 0).astype(jnp.int32)
-            ok = (lane128 >= -i0i) \
-                & (lane128 <= (U - 1) - ceil_off) \
-                & (s_vec < S)
-            valid_c_ref[b * 8:(b + 1) * 8, :] = ok.astype(DTYPE)
+        shift = (s_hat - s_col).astype(DTYPE) * dval * slope_c
+        i0 = jnp.floor(shift)                        # (S_tot, 1)
+        t = shift - i0
+        i0i = i0.astype(jnp.int32)
+        idx = i0i + PAD + lane                       # (S_tot, 128)
+
+        # validity interval: floor(u+shift) >= 0 and
+        # ceil(u+shift) <= U-1  (ceil = i0i + (t > 0))
+        ceil_off = i0i + (t > 0).astype(jnp.int32)
+        ok = (lane_g >= -i0i) & (lane_g <= (U - 1) - ceil_off) \
+            & (s_col < S)
+        valid_c_ref[:, :] = ok.astype(DTYPE)
+
+        # scalar index bounds from the monotonic shift endpoints
+        sh_a = jnp.floor(s_hat.astype(DTYPE) * dval * slope_c
+                         ).astype(jnp.int32)
+        sh_b = jnp.floor((s_hat - (S_tot - 1)).astype(DTYPE)
+                         * dval * slope_c).astype(jnp.int32)
+        idx_lo = jnp.minimum(sh_a, sh_b) + PAD
+        idx_hi = jnp.maximum(sh_a, sh_b) + PAD + 128  # +127 lanes +1
+
+        for c in range(C):
+            ga_ref[c, :, :] = jnp.zeros((S_tot, 128), DTYPE)
+            gb_ref[c, :, :] = jnp.zeros((S_tot, 128), DTYPE)
+        base = pl.multiple_of(j * 128, 128)
+        for g in range(n_grp):
+            @pl.when(jnp.logical_and(idx_hi >= g * 128,
+                                     idx_lo < (g + 1) * 128))
+            def _group(g=g):
+                rel = idx - g * 128
+                relb = rel + 1
+                in_a = (rel >= 0) & (rel < 128)
+                in_b = (relb >= 0) & (relb < 128)
+                rel_c = jnp.clip(rel, 0, 127)
+                relb_c = jnp.clip(relb, 0, 127)
+                for c in range(C):
+                    srcg = epi_ref[c, :, pl.ds(base + g * 128, 128)]
+                    va = jnp.take_along_axis(srcg, rel_c, axis=1)
+                    vb = jnp.take_along_axis(srcg, relb_c, axis=1)
+                    ga_ref[c, :, :] = jnp.where(in_a, va,
+                                                ga_ref[c, :, :])
+                    gb_ref[c, :, :] = jnp.where(in_b, vb,
+                                                gb_ref[c, :, :])
+        for c in range(C):
+            row_a = ga_ref[c, :, :]
+            blend = (DTYPE(1.0) - t) * row_a + t * gb_ref[c, :, :]
+            shear_c_ref[c, :, :] = jnp.where(t == 0, row_a, blend)
 
     def ms_score(shear, validf, rbar0):
         """Mean shift + score on a [S_tot, 128] tile, with an exact
@@ -329,13 +335,15 @@ def prepare_padded_epis(epis_v_s_u_c, dmin: float, dmax: float,
     """
     V, S, U, C = epis_v_s_u_c.shape
     max_abs_d = max(abs(dmin), abs(dmax))
-    w_win, _ = gather_window(dmin, dmax, slope_factor)
     # >= 128 so that per-pixel-kernel window starts stay non-negative
     pad_f = max(128, int(np.ceil(S * max_abs_d * slope_factor)) + 2)
     Ux = _round_up(U, 128)
     # max window end: base + Ux + 128 <= start_max + Ux + 128
     #               <= (pad_f + pad_f) + Ux + 128
-    right_needed = pad_f + (Ux - U) + pad_f + 128 + w_win
+    # gather windows reach up to (n_chunks-1)*128 + n_grp*128 lanes
+    right_needed = (Ux - 128) + 128 * gather_window(pad_f) - (pad_f + U) \
+        + 256
+    right_needed = max(right_needed, pad_f + 256)
     U_tot = _round_up(pad_f + U + right_needed, 128)
     pad_right = U_tot - U - pad_f
     s_pad = _round_up(S, 8) - S
@@ -392,13 +400,12 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
     s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
 
     Ux = _round_up(U, 128)
-    w_win, n_bits = gather_window(dmin, dmax, params.slope_factor)
     kernel = functools.partial(
         _sweep_kernel, S=S, U=U, Ux=Ux, C=C, PAD=PAD, dim_d=dim_d,
         s_pad=s_pad,
         slope_factor=params.slope_factor, h=params.kernel_h,
         iters=params.mean_shift_max_iter, with_k_best=with_k_best,
-        w_win=w_win, n_bits=n_bits)
+        n_grp=gather_window(PAD))
 
     kb_S = S_tot if with_k_best else 8
     kb_U = Ux if with_k_best else 128
@@ -444,6 +451,8 @@ def sweep_pile_pallas(epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
                         pltpu.VMEM((kb_S, kb_U), DTYPE),       # kbest
                         pltpu.VMEM((C, S_tot, 128), DTYPE),    # shear
                         pltpu.VMEM((S_tot, 128), DTYPE),       # valid
+                        pltpu.VMEM((C, S_tot, 128), DTYPE),    # gather a
+                        pltpu.VMEM((C, S_tot, 128), DTYPE),    # gather b
                         pltpu.SemaphoreType.DMA,
                         pltpu.SemaphoreType.DMA],
     )

@@ -1,0 +1,379 @@
+"""Pixel-compacted Pallas sweep: d-candidates on lanes, active pixels
+on 128-lane blocks.
+
+The dense row kernel (sweep_pallas.py) re-builds the sheared (s, u)
+matrix for every (candidate, 128-lane chunk) — its per-pass cost is
+~constant once activity is SPREAD (a few active pixels per chunk keep
+every chunk alive), which is exactly the late-pass regime of the 2-D
+propagation driver (claims scatter along EPI lines, leaving isolated
+survivors).  This kernel instead puts the CANDIDATE axis on the 128
+vector lanes and processes 8 COMPACTED active pixels per (S_tot, 1024)
+tile, so one tile evaluates all dim_d candidates of 8 pixels at once
+and per-pass cost scales with the ACTIVE PIXEL COUNT — the reference's
+findNonZero sparsity (rslf_depth_computation_core.hpp:515-516), made
+dense per tile.
+
+Per row v (one grid step):
+* the driver pre-sorts each row's u indices active-first (one batched
+  argsort) and passes the permutation + active count;
+* the EPI row is DMA'd to VMEM once (manual DMA — the auto pipeline
+  re-issues per-step DMAs, see sweep_pallas.py);
+* floor/frac/valid of the sheared positions I = (s_hat - s) * d_j *
+  slope (identical decomposition and float32 ops as sweep_pallas.py,
+  so samples and weights are bit-identical) are hoisted per row: they
+  do not depend on u;
+* per batch of 8 pixels: the per-lane gather runs with Mosaic's native
+  take_along_axis within 128-lane groups of each pixel's window
+  (groups outside the candidate span are skipped with a scalar
+  branch), then the truncated mean shift + scoring on the
+  (S_tot, 1024) tile, then per-pixel lane reductions (first-max argmax
+  over the d lanes) — results land in compact slots, written back with
+  a small DMA per batch;
+* the wrapper scatters compact slots back to u positions with the
+  inverse permutation (double argsort + take_along_axis).
+
+score_version="line" (k_best export) uses the dense kernel instead —
+its [S, U] kernel-matrix export has no compact layout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import DepthParams
+from ..types import DTYPE, chan_scale
+from .sweep import SweepResult
+from .sweep_pallas import _round_up, gather_window, prepare_padded_epis
+
+BATCH = 8  # pixels per tile (one 128-lane block each)
+
+
+def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
+                  S: int, U: int, C: int, PAD: int, dim_d: int,
+                  s_pad: int, slope_factor: float, h: float,
+                  iters: int, n_grp: int, dmin: float, dmax: float,
+                  per_pixel: bool, interpret: bool):
+    if per_pixel:
+        (bmin_ref, bmax_ref, epi_hbm_ref, out_hbm_ref,
+         epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
+         ga_scr, gb_scr, outb_ref, sem_in, sem_out) = rest
+    else:
+        bmin_ref = bmax_ref = None
+        (epi_hbm_ref, out_hbm_ref,
+         epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
+         ga_scr, gb_scr, outb_ref, sem_in, sem_out) = rest
+    i = pl.program_id(0)
+    S_tot = S + s_pad
+    W = BATCH * 128
+    a = DTYPE(chan_scale(C) / (h * h))
+    s_hat = s_hat_ref[0, 0]
+    n_act = nact_ref[i]
+
+    @pl.when(n_act > 0)
+    def _run():
+        cp = pltpu.make_async_copy(epi_hbm_ref.at[i], epi_vmem, sem_in)
+        cp.start()
+        cp.wait()
+
+        s_col = jax.lax.broadcasted_iota(jnp.int32, (S_tot, 1), 0)
+        if not per_pixel:
+            # ---- hoisted (u-independent) shear decomposition --------
+            # d candidates tiled across the BATCH blocks
+            dpad = dvec_ref[0:1, :]                        # (1, 128)
+            drow0 = jnp.concatenate([dpad] * BATCH, axis=1)
+            shift = (s_hat - s_col).astype(DTYPE) * drow0 \
+                * DTYPE(slope_factor)                      # (S_tot, W)
+            i0 = jnp.floor(shift)
+            t_scr[:, :] = shift - i0
+            i0_scr[:, :] = i0.astype(jnp.int32)
+            co_scr[:, :] = i0_scr[:, :] \
+                + (t_scr[:, :] > 0).astype(jnp.int32)
+
+        lane_d = jax.lax.rem(
+            jax.lax.broadcasted_iota(jnp.int32, (1, W), 1), 128)
+        is_cand = lane_d < dim_d                           # (1, W)
+        s_ok = s_col < S
+
+        def span_bounds(d_lo, d_hi):
+            # extreme floor(shift) over (s, d) is attained at a corner;
+            # widened by one lane — conservative skipping only drops
+            # certainly-untouched groups
+            sh = []
+            for ds_end in (s_hat, s_hat - (S_tot - 1)):
+                for d_end in (d_lo, d_hi):
+                    sh.append(jnp.floor(
+                        ds_end.astype(DTYPE) * d_end
+                        * DTYPE(slope_factor)).astype(jnp.int32))
+            return (jnp.minimum(jnp.minimum(sh[0], sh[1]),
+                                jnp.minimum(sh[2], sh[3])) - 1,
+                    jnp.maximum(jnp.maximum(sh[0], sh[1]),
+                                jnp.maximum(sh[2], sh[3])) + 1)
+
+        if not per_pixel:
+            sh_min, sh_max = span_bounds(DTYPE(np.float32(dmin)),
+                                         DTYPE(np.float32(dmax)))
+
+        lane_f = jax.lax.broadcasted_iota(
+            jnp.int32, (1, 128), 1).astype(DTYPE)          # candidate k
+        n_batches = pl.cdiv(n_act, BATCH)
+
+        def batch_body(b, _):
+            # ---- gather 8 pixels' (s, d) radiance samples ----------
+            dblk = []
+            for p in range(BATCH):
+                u_p = ulist_ref[0, 0, b * BATCH + p]
+                blk = pl.ds(p * 128, 128)
+                if per_pixel:
+                    # the pixel's own candidate grid, with the
+                    # reference's float op order (core.hpp:548) and the
+                    # interpret-mode barriers of the dense pp kernel
+                    bmin_p = bmin_ref[0, 0, u_p]
+                    rng_p = bmax_ref[0, 0, u_p] - bmin_p
+                    if interpret:
+                        dnum = jax.lax.optimization_barrier(
+                            lane_f * rng_p)
+                        dden = jax.lax.optimization_barrier(
+                            jnp.full((1, 1), DTYPE(dim_d - 1), DTYPE))
+                        delta = bmin_p + jax.lax.optimization_barrier(
+                            dnum / dden)
+                    else:
+                        delta = bmin_p + (lane_f * rng_p) / DTYPE(
+                            dim_d - 1)                     # (1, 128)
+                    shift_b = (s_hat - s_col).astype(DTYPE) * delta \
+                        * DTYPE(slope_factor)              # (S_tot, 128)
+                    i0f = jnp.floor(shift_b)
+                    tb = shift_b - i0f
+                    i0b = i0f.astype(jnp.int32)
+                    i0_scr[:, blk] = i0b
+                    t_scr[:, blk] = tb
+                    co_scr[:, blk] = i0b + (tb > 0).astype(jnp.int32)
+                    s_lo, s_hi = span_bounds(bmin_p,
+                                             bmin_p + rng_p)
+                else:
+                    delta = dvec_ref[0:1, :]
+                    i0b = i0_scr[:, blk]
+                    s_lo, s_hi = sh_min, sh_max
+                dblk.append(delta)
+                start = i0b + (u_p + PAD)                  # (S_tot, 128)
+                base = u_p - jax.lax.rem(u_p, 128)
+                rel0 = start - base
+                ga_scr[:, blk] = jnp.zeros((S_tot, 128), DTYPE)
+                gb_scr[:, blk] = jnp.zeros((S_tot, 128), DTYPE)
+                idx_lo = s_lo + (u_p + PAD) - base
+                idx_hi = s_hi + (u_p + PAD) - base + 1
+                for g in range(n_grp):
+                    @pl.when(jnp.logical_and(idx_hi >= g * 128,
+                                             idx_lo < (g + 1) * 128))
+                    def _grp(g=g, rel0=rel0, blk=blk, base=base):
+                        rel = rel0 - g * 128
+                        relb = rel + 1
+                        in_a = (rel >= 0) & (rel < 128)
+                        in_b = (relb >= 0) & (relb < 128)
+                        rc = jnp.clip(rel, 0, 127)
+                        rbc = jnp.clip(relb, 0, 127)
+                        # C == 1 fast path only; C > 1 handled by the
+                        # dense kernel (wrapper gates on C)
+                        src = epi_vmem[0, :,
+                                       pl.ds(pl.multiple_of(
+                                           base + g * 128, 128), 128)]
+                        va = jnp.take_along_axis(src, rc, axis=1)
+                        vb = jnp.take_along_axis(src, rbc, axis=1)
+                        ga_scr[:, blk] = jnp.where(in_a, va,
+                                                   ga_scr[:, blk])
+                        gb_scr[:, blk] = jnp.where(in_b, vb,
+                                                   gb_scr[:, blk])
+                # validity: floor >= 0 and ceil <= U-1 at this pixel
+                ok = (u_p >= -i0b) \
+                    & (u_p <= (U - 1) - co_scr[:, blk]) & s_ok
+                cand_b = is_cand[:, p * 128:(p + 1) * 128]
+                valid_scr[:, blk] = (ok & cand_b).astype(DTYPE)
+
+            t_ = t_scr[:, :]
+            row_a = ga_scr[:, :]
+            shear = jnp.where(t_ == 0, row_a,
+                              (DTYPE(1.0) - t_) * row_a
+                              + t_ * gb_scr[:, :])
+            validf = valid_scr[:, :]
+
+            # ---- truncated mean shift on (S_tot, W) ----------------
+            r0 = shear * validf
+            rpos = jnp.maximum(r0, 0.0)
+            card = jnp.sum(validf, axis=0, keepdims=True)
+            # r_bar init: the s_hat row (shift there is 0)
+            at_hat = (s_col == s_hat).astype(DTYPE)
+            rbar0 = jnp.sum(r0 * at_hat, axis=0, keepdims=True)
+
+            def ms_iter(state):
+                rbar_d, _k = state
+                diff = r0 - rbar_d
+                k = jnp.maximum(1.0 - a * (diff * diff), 0.0) * validf
+                sum_k = jnp.sum(k, axis=0, keepdims=True)
+                num = jnp.sum(rpos * k, axis=0, keepdims=True)
+                new_rbar = jnp.where(sum_k > 0, num / sum_k, 0.0)
+                return new_rbar, k
+
+            def ms_cond(st):
+                it, _rb, _k, done = st
+                return jnp.logical_and(it < iters,
+                                       jnp.logical_not(done))
+
+            def ms_step(st):
+                it, rb, k, _ = st
+                nrb, nk = ms_iter((rb, k))
+                return it + 1, nrb, nk, jnp.all(nrb == rb)
+
+            k0 = jnp.zeros((S_tot, W), DTYPE)
+            _, rbar_d, k_last, _ = jax.lax.while_loop(
+                ms_cond, ms_step, (jnp.int32(0), rbar0, k0, False))
+
+            sum_k = jnp.sum(k_last, axis=0, keepdims=True)
+            score = jnp.where(card > 0, sum_k / card, 0.0)  # (1, W)
+            score = jnp.where(is_cand, score, -1.0)
+
+            # ---- per-pixel lane reductions -> SMEM compact slots ----
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            for p in range(BATCH):
+                lo, hi = p * 128, (p + 1) * 128
+                sc = score[0:1, lo:hi]                      # (1, 128)
+                best = jnp.max(sc)
+                # FIRST max over the d lanes (reference argmax order)
+                bidx = jnp.min(jnp.where(sc == best, lane128,
+                                         jnp.int32(2 ** 30)))
+                ssum = jnp.sum(jnp.where(is_cand[0:1, lo:hi], sc, 0.0))
+                onehot = (lane128 == bidx).astype(DTYPE)
+                dbest = jnp.sum(dblk[p] * onehot)
+                rbest = jnp.sum(rbar_d[0:1, lo:hi] * onehot)
+                slot = b * BATCH + p
+                outb_ref[0, slot] = best
+                outb_ref[1, slot] = ssum
+                outb_ref[2, slot] = dbest
+                outb_ref[3, slot] = rbest
+            return 0
+
+        jax.lax.fori_loop(0, n_batches, batch_body, 0)
+        co = pltpu.make_async_copy(outb_ref, out_hbm_ref.at[i], sem_out)
+        co.start()
+        co.wait()
+
+
+def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
+                            dim_d: int, s_hat, params: DepthParams,
+                            active_v_u=None, padded=None,
+                            interpret: bool = False,
+                            dmin_v_u=None, dmax_v_u=None) -> SweepResult:
+    """Pixel-compacted sweep (C == 1, no k_best).
+
+    ``active_v_u``: [V, U] bool — pixels to sweep (required; the point
+    of this kernel).  Outputs at inactive pixels are garbage, exactly
+    like the dense kernel's inactive chunks.
+
+    ``dmin_v_u``/``dmax_v_u``: optional [V, U] PER-PIXEL grid bounds
+    (the bounds-edited pyramid levels, rslf_fine_to_coarse.hpp:202-294)
+    — each pixel then sweeps ITS OWN candidate grid, the reference's
+    exact semantics (no tile quantization needed: the gather is
+    per-lane anyway).  dmin/dmax remain the static ctor constants that
+    bound every per-pixel value (they size the pad and the windows).
+    """
+    if params.interpolation != "linear":
+        raise NotImplementedError("linear interpolation only")
+    V, S, U, C = epis_v_s_u_c.shape
+    if C != 1:
+        raise NotImplementedError("pixel kernel supports C == 1")
+    if padded is None:
+        padded = prepare_padded_epis(epis_v_s_u_c, dmin, dmax,
+                                     params.slope_factor)
+    epi_pad, PAD, s_pad = padded
+    S_tot = S + s_pad
+    U_tot = epi_pad.shape[-1]
+    Upad = _round_up(U, BATCH * 16)  # slot capacity, multiple of BATCH
+
+    if active_v_u is None:
+        active_v_u = jnp.ones((V, U), bool)
+
+    # active-first permutation per row + counts (host->device compact)
+    order = jnp.argsort(~active_v_u, axis=1, stable=True)  # [V, U]
+    n_act = jnp.sum(active_v_u, axis=1).astype(jnp.int32)  # [V]
+    ulist = jnp.pad(order.astype(jnp.int32),
+                    ((0, 0), (0, Upad - U)))[:, None, :]
+
+    d_idx = jnp.arange(dim_d, dtype=DTYPE)
+    rng_ = DTYPE(np.float32(np.float32(dmax) - np.float32(dmin)))
+    num = jax.lax.optimization_barrier(d_idx * rng_)
+    den = jax.lax.optimization_barrier(jnp.asarray(DTYPE(dim_d - 1)))
+    dvec = (DTYPE(np.float32(dmin))
+            + jax.lax.optimization_barrier(num / den))[None, :]
+    s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
+
+    dvec = jnp.pad(dvec, ((0, 0), (0, 128 - dim_d)))
+    per_pixel = dmin_v_u is not None
+    n_grp = gather_window(PAD)
+    kernel = functools.partial(
+        _pixel_kernel, S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
+        slope_factor=params.slope_factor, h=params.kernel_h,
+        iters=params.mean_shift_max_iter, n_grp=n_grp,
+        dmin=dmin, dmax=dmax, per_pixel=per_pixel, interpret=interpret)
+
+    W = BATCH * 128
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i, n: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 128), lambda i, n: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, Upad), lambda i, n: (i, 0, 0),
+                     memory_space=pltpu.SMEM),    # ulist row
+    ]
+    operands = [s_hat_arr, dvec, ulist]
+    if per_pixel:
+        def padb(x):
+            return jnp.pad(x.astype(DTYPE),
+                           ((0, 0), (0, Upad - U)))[:, None, :]
+        bspec = pl.BlockSpec((1, 1, Upad), lambda i, n: (i, 0, 0),
+                             memory_space=pltpu.SMEM)
+        in_specs += [bspec, bspec]
+        operands += [padb(dmin_v_u), padb(dmax_v_u)]
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # epi volume
+    operands.append(epi_pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,                     # n_act
+        grid=(V,),
+        in_specs=in_specs,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((C, S_tot, U_tot), DTYPE),     # epi row
+            pltpu.VMEM((S_tot, W), jnp.int32),        # i0
+            pltpu.VMEM((S_tot, W), DTYPE),            # t
+            pltpu.VMEM((S_tot, W), jnp.int32),        # ceil offset
+            pltpu.VMEM((S_tot, W), DTYPE),            # valid
+            pltpu.VMEM((S_tot, W), DTYPE),            # gather a
+            pltpu.VMEM((S_tot, W), DTYPE),            # gather b
+            pltpu.SMEM((4, Upad), DTYPE),             # compact out
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((V, 4, Upad), DTYPE)],
+        interpret=interpret,
+    )(n_act, *operands)[0]
+
+    # scatter compact slots back to u positions: pos[v, u] = slot of u
+    pos = jnp.argsort(order, axis=1).astype(jnp.int32)     # inverse perm
+    def back(r):
+        return jnp.take_along_axis(out[:, r, :U], pos, axis=1)
+
+    return SweepResult(
+        best_score=back(0),
+        score_mean=back(1) / DTYPE(dim_d),
+        best_depth=back(2),
+        rbar=back(3)[..., None],
+        k_best=jnp.zeros((V, S, U), DTYPE),
+    )

@@ -1,0 +1,106 @@
+"""Pixel-compacted sweep kernel vs the XLA reference path."""
+
+import numpy as np
+import pytest
+
+import oracle
+
+import jax.numpy as jnp
+
+from remotesensingproject_tpu.config import DepthParams
+from remotesensingproject_tpu.ops.sweep import sweep_pile
+from remotesensingproject_tpu.ops.sweep_pallas_pixel import (
+    sweep_pile_pallas_pixel)
+
+
+@pytest.mark.parametrize("seed,s_hat", [(0, 3), (1, 0), (2, 5)])
+def test_pixel_kernel_matches_xla(seed, s_hat):
+    vol, _ = oracle.make_synthetic_lf(S=6, V=5, U=40, C=1, n_objects=3,
+                                      seed=seed, dmin=-1.0, dmax=1.5)
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    V, S, U, C = epis.shape
+    params = DepthParams()
+    dmin, dmax, dim_d = -1.0, 1.5, 7
+    rng = np.random.default_rng(seed)
+    active = jnp.asarray(rng.random((V, U)) < 0.4)
+
+    want = sweep_pile(epis,
+                      jnp.full((V, U), np.float32(dmin)),
+                      jnp.full((V, U), np.float32(dmax)),
+                      dim_d, jnp.int32(s_hat), params)
+    got = sweep_pile_pallas_pixel(epis, dmin, dmax, dim_d,
+                                  jnp.int32(s_hat), params,
+                                  active_v_u=active, interpret=True)
+
+    m = np.asarray(active)
+    # scores/r_bar tolerate the scalar-shift decomposition's last-ulp
+    # interpolation-weight difference vs the XLA path (same tolerance
+    # as the dense kernel's tests; the mean additionally sums the
+    # candidate scores in lane-tree order); depths must agree exactly
+    for name, atol in (("best_score", 2e-5), ("best_depth", 1e-6),
+                       ("score_mean", 5e-5)):
+        g = np.asarray(getattr(got, name))[m]
+        w = np.asarray(getattr(want, name))[m]
+        np.testing.assert_allclose(g, w, atol=atol, err_msg=name)
+    np.testing.assert_allclose(np.asarray(got.rbar)[m],
+                               np.asarray(want.rbar)[m], atol=2e-5)
+
+
+def test_pixel_kernel_sparse_activity():
+    """A few isolated pixels; everything inactive must not crash and
+    active outputs must match."""
+    vol, _ = oracle.make_synthetic_lf(S=8, V=4, U=64, C=1, n_objects=3,
+                                      seed=5, dmin=-1.0, dmax=1.0)
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    V, S, U, C = epis.shape
+    params = DepthParams()
+    active = np.zeros((V, U), bool)
+    active[0, 3] = active[0, 60] = active[2, 31] = True
+    # row 1 and 3 fully inactive
+    got = sweep_pile_pallas_pixel(epis, -1.0, 1.0, 5, jnp.int32(4),
+                                  params, active_v_u=jnp.asarray(active),
+                                  interpret=True)
+    want = sweep_pile(epis, jnp.full((V, U), np.float32(-1.0)),
+                      jnp.full((V, U), np.float32(1.0)), 5,
+                      jnp.int32(4), params)
+    m = active
+    np.testing.assert_allclose(np.asarray(got.best_depth)[m],
+                               np.asarray(want.best_depth)[m],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.best_score)[m],
+                               np.asarray(want.best_score)[m],
+                               atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pixel_kernel_per_pixel_bounds(seed):
+    """Native per-pixel candidate grids (the bounds-edited pyramid
+    levels) vs the XLA path's exact per-pixel sweep."""
+    vol, _ = oracle.make_synthetic_lf(S=6, V=5, U=40, C=1, n_objects=3,
+                                      seed=seed, dmin=-1.0, dmax=1.5)
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    V, S, U, C = epis.shape
+    params = DepthParams()
+    gmin, gmax, dim_d = -1.0, 1.5, 7
+    rng = np.random.default_rng(seed + 10)
+    c = rng.uniform(gmin + 0.4, gmax - 0.4, (V, U)).astype(np.float32)
+    dmin_vu = jnp.asarray(np.clip(c - 0.35, gmin, gmax))
+    dmax_vu = jnp.asarray(np.clip(c + 0.35, gmin, gmax))
+    active = jnp.asarray(rng.random((V, U)) < 0.5)
+
+    want = sweep_pile(epis, dmin_vu, dmax_vu, dim_d, jnp.int32(3),
+                      params)
+    got = sweep_pile_pallas_pixel(epis, gmin, gmax, dim_d, jnp.int32(3),
+                                  params, active_v_u=active,
+                                  interpret=True,
+                                  dmin_v_u=dmin_vu, dmax_v_u=dmax_vu)
+    m = np.asarray(active)
+    np.testing.assert_allclose(np.asarray(got.best_depth)[m],
+                               np.asarray(want.best_depth)[m],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.best_score)[m],
+                               np.asarray(want.best_score)[m], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.score_mean)[m],
+                               np.asarray(want.score_mean)[m], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(got.rbar)[m],
+                               np.asarray(want.rbar)[m], atol=2e-5)

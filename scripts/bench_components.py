@@ -27,7 +27,7 @@ if os.environ.get("BENCH_STRUCTURED") == "1":
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from bench import synthetic_sequence
-    epis = jnp.transpose(synthetic_sequence(S, V, U), (1, 0, 2, 3))
+    epis = jnp.transpose(synthetic_sequence(S, V, U)[0], (1, 0, 2, 3))
     epis = epis / jnp.max(epis)
 else:
     epis = jnp.asarray(rng.random((V, S, U, C), dtype=np.float32))

@@ -30,7 +30,7 @@ S, V, U, C, D = 100, 540, 960, 1, 120
 dmin, dmax = -1.0, 4.0
 params = DepthParams(slope_factor=1.0)
 
-vol = synthetic_sequence(S, V, U)
+vol, _ = synthetic_sequence(S, V, U)
 epis = vol / jnp.max(vol)
 frames = jnp.transpose(epis, (1, 0, 2, 3))
 ce_vsu, mask_vsu = jax.jit(edge_confidence_volume, static_argnums=1)(

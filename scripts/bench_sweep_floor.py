@@ -27,7 +27,7 @@ D = 120
 gmin, gmax = -1.0, 4.0
 params = DepthParams(slope_factor=1.0)
 
-vol = synthetic_sequence(S, V, U)          # [V, S, U, 1] on device
+vol, _ = synthetic_sequence(S, V, U)       # [V, S, U, 1] on device
 epis = vol / jnp.max(vol)
 padded = prepare_padded_epis(epis, gmin, gmax, params.slope_factor)
 padded = (jax.block_until_ready(padded[0]), padded[1], padded[2])

@@ -57,7 +57,7 @@ def run_once(vol, n_dev):
 def main():
     args = [int(a) for a in sys.argv[1:]]
     V, U, S, D = (args + [64, 128, 12, 16])[:4]
-    vol = synthetic_sequence(S, V, U, seed=0)
+    vol, _ = synthetic_sequence(S, V, U, seed=0)
     vol = jnp.asarray(np.asarray(vol))  # materialize on host once
     mpix = S * V * U / 1e6
 

@@ -69,12 +69,10 @@ def stub_sweep(epis_v_s_u_c, dmin_, dmax_, dim_d_, s_hat_, params_,
 
 
 level = jnp.asarray(vol)
-gt = jnp.asarray(gt_s_u)
 ds_fn = jax.jit(downsample_epis)
 for p in range(max(levels) + 1):
     if p > 0:
         level = ds_fn(level)
-        gt = gt[:, ::2] if False else gt  # placeholder; rescaled below
     if p not in levels:
         continue
     Vp, Sp, Up, Cp = level.shape
@@ -130,16 +128,15 @@ for p in range(max(levels) + 1):
 
     print(f"level {p}: V={Vp} U={Up} conf={float(ce_mask.mean()):.1%}",
           flush=True)
-    timeit("full           ")
-    d2d.propagate = stub_prop
-    timeit("prop stubbed   ")
-    d2d.selective_median = stub_med
-    timeit("prop+med stub  ")
-    spx.sweep_pile_pallas_pixel = stub_sweep
-    d2d.sweep_pile_pallas_pixel = stub_sweep
-    timeit("all stubbed    ")
-    d2d.propagate = orig_prop
-    d2d.selective_median = orig_med
-    spx.sweep_pile_pallas_pixel = orig_pix
-    if hasattr(d2d, "sweep_pile_pallas_pixel"):
-        d2d.sweep_pile_pallas_pixel = orig_pix
+    try:
+        timeit("full           ")
+        d2d.propagate = stub_prop
+        timeit("prop stubbed   ")
+        d2d.selective_median = stub_med
+        timeit("prop+med stub  ")
+        spx.sweep_pile_pallas_pixel = stub_sweep
+        timeit("all stubbed    ")
+    finally:
+        d2d.propagate = orig_prop
+        d2d.selective_median = orig_med
+        spx.sweep_pile_pallas_pixel = orig_pix

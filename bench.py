@@ -4,11 +4,29 @@ synthetic light field (540 x 960, 100 frames, 1 channel, d in [-1, 4],
 report/rs_report.tex:430: 448 s on an i3-6100).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": MPix/s, "unit": "MPix/s", "vs_baseline": x}
+  {"metric": ..., "value": MPix/s, "unit": "MPix/s", "vs_baseline": x,
+   "cold_s": ..., "steadystate_s": ..., "compile_s": ...,
+   "quality_rmse_px": ..., "quality_ok": ...}
+
+The pipeline runs TWICE in-process: the first (cold) timing includes
+XLA/Mosaic compilation (amortized across runs by the persistent cache
+in .jax_cache), the second is the warm steady-state.  `value` and
+`vs_baseline` are the WARM throughput — the number that measures the
+engine rather than the compiler (round-2 verdict #1b).
 
 Baseline: 100 * 540 * 960 px / 448 s = 0.1157 MPix/s end-to-end
-(BASELINE.md).  Sizes can be scaled down with BENCH_SMALL=1 (the value is
-still normalized to MPix/s of processed pixels).
+(BASELINE.md).  Sizes can be scaled down with BENCH_SMALL=1 (the value
+is still normalized to MPix/s of processed pixels).
+
+Quality gate (round-2 verdict #1a): anchored to what the COMPILED
+REFERENCE binary itself scores on the identical scene — measured by
+scripts/ref_anchor.py and frozen in REF_ANCHOR.json.  The synthetic-GT
+error is heavy-tailed at occlusions/ambiguous lines (median |err|
+~0.08 px, RMSE ~1.37 px) and the reference produces that tail
+identically, so the gate is a DELTA: repo RMSE <= ref RMSE + 0.1 px and
+repo P90|err| <= ref P90 + 0.1 px, both over the pre-run
+edge-confidence mask (a pure function of the input, identical for both
+engines).
 """
 
 import json
@@ -17,6 +35,12 @@ import sys
 import time
 
 import numpy as np
+
+# scripts/ref_anchor.py output, committed; keys are "SxVxUxD".
+REF_ANCHOR_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "REF_ANCHOR.json")
+RMSE_MARGIN_PX = 0.10
+P90_MARGIN_PX = 0.10
 
 
 def synthetic_sequence(S, V, U, seed=0):
@@ -75,9 +99,47 @@ def synthetic_sequence(S, V, U, seed=0):
     return vol, gt_s_u
 
 
+def edge_mask(vol, params):
+    """PRE-RUN finest-level edge-confidence mask — identical definition
+    to scripts/ref_anchor.py (pure function of the input, so the anchor
+    and the gate select the same pixels)."""
+    import jax.numpy as jnp
+
+    from remotesensingproject_tpu.ops.edge_confidence import (
+        edge_confidence_volume)
+    from remotesensingproject_tpu.ops.normalize import normalize_volume
+
+    epis = normalize_volume(jnp.asarray(vol), -1.0)
+    ce_vsu, _ = edge_confidence_volume(epis, params)
+    ce = np.transpose(np.asarray(ce_vsu), (1, 0, 2))  # [S, V, U]
+    return ce > params.edge_score_threshold
+
+
+def run_once(vol, dmin, dmax, D, use_pallas, verbose):
+    """One full fine-to-coarse pipeline; returns (ftc, fused, seconds)."""
+    import contextlib
+
+    from remotesensingproject_tpu.models.fine_to_coarse import FineToCoarse
+
+    t0 = time.time()
+    with contextlib.redirect_stdout(sys.stderr):
+        ftc = FineToCoarse(vol, dmin, dmax, D, use_pallas=use_pallas,
+                           verbose=verbose,
+                           pass_progress=os.environ.get(
+                               "BENCH_PROGRESS") == "1")
+        # optional resumable run (BENCH_CKPT_DIR=/path): saves each
+        # completed pyramid level; crashed runs restart mid-pyramid
+        ftc.run(ckpt_dir=os.environ.get("BENCH_CKPT_DIR") or None)
+        fused, validity = ftc.get_results()
+        fused = np.asarray(fused)  # host sync (block_until_ready is
+        # unreliable over the remote-device tunnel)
+    return ftc, fused, time.time() - t0
+
+
 def main():
     import jax
 
+    from remotesensingproject_tpu.config import DEFAULT_PARAMS
     from remotesensingproject_tpu.utils.profiling import (
         enable_compilation_cache)
 
@@ -97,59 +159,75 @@ def main():
     print(f"# generated volume {vol.shape} in {gen_s:.1f}s",
           file=sys.stderr)
 
-    from remotesensingproject_tpu.models.fine_to_coarse import FineToCoarse
-
     backend = jax.default_backend()
     use_pallas = backend == "tpu"
     print(f"# backend={backend} use_pallas={use_pallas}", file=sys.stderr)
 
-    import contextlib
-
-    t0 = time.time()
-    with contextlib.redirect_stdout(sys.stderr):
-        ftc = FineToCoarse(vol, dmin, dmax, D, use_pallas=use_pallas,
-                           verbose=True,
-                           pass_progress=os.environ.get(
-                               "BENCH_PROGRESS") == "1")
-        # optional resumable run (BENCH_CKPT_DIR=/path): saves each
-        # completed pyramid level; crashed runs restart mid-pyramid
-        ftc.run(ckpt_dir=os.environ.get("BENCH_CKPT_DIR") or None)
-        fused, validity = ftc.get_results()
-        fused = np.asarray(fused)  # host sync (block_until_ready is
-        # unreliable over the remote-device tunnel)
-    elapsed = time.time() - t0
+    ftc, fused, cold_s = run_once(vol, dmin, dmax, D, use_pallas,
+                                  verbose=True)
+    print(f"# cold (compile-inclusive) {cold_s:.1f}s", file=sys.stderr)
+    if os.environ.get("BENCH_COLD_ONLY") == "1":
+        warm_s = cold_s
+    else:
+        ftc, fused, warm_s = run_once(vol, dmin, dmax, D, use_pallas,
+                                      verbose=True)
+        print(f"# warm (steady-state)     {warm_s:.1f}s", file=sys.stderr)
 
     mpix = S * V * U / 1e6
-    mpixps = mpix / elapsed
+    mpixps = mpix / warm_s
     baseline_mpixps = 51.84 / 448.0  # SkysatLR18 [120] (BASELINE.md)
-    print(f"# end-to-end {elapsed:.1f}s for {mpix:.1f} MPix "
+    print(f"# end-to-end warm {warm_s:.1f}s for {mpix:.1f} MPix "
           f"({len(ftc.computers)} pyramid levels)", file=sys.stderr)
 
-    # Quality gate (round-1 verdict, "what's weak" #8): the synthetic
-    # scene's ground-truth disparity is known per (s, u); a perf "win"
-    # that degrades the maps must not go unnoticed.  The fused validity
-    # is all-True by construction (the coarsest level is accept-all and
-    # fusion fills every hole, rslf_fine_to_coarse.hpp:156-158), so the
-    # gate measures where the algorithm genuinely estimates: the FINEST
-    # level's edge-confident pixels.  0.5 px acceptance (BASELINE.md).
-    conf0 = np.asarray(ftc.computers[0].get_valid_depths_mask_s_v_u())
+    # Quality gate: delta vs the compiled reference's own accuracy on
+    # this scene (module docstring; REF_ANCHOR.json from
+    # scripts/ref_anchor.py).
+    conf0 = edge_mask(vol, DEFAULT_PARAMS)
     gt = np.broadcast_to(gt_s_u[:, None, :], fused.shape)
-    diff = (fused - gt)[conf0]
-    rmse = float(np.sqrt(np.mean(diff ** 2))) if diff.size else float("nan")
+    err = np.abs(fused - gt)[conf0]
+    rmse = float(np.sqrt(np.mean(err ** 2))) if err.size else float("nan")
+    p50 = float(np.percentile(err, 50)) if err.size else float("nan")
+    p90 = float(np.percentile(err, 90)) if err.size else float("nan")
     cover = float(conf0.mean())
-    print(f"# quality: RMSE {rmse:.4f} px on {cover * 100:.1f}% "
-          f"edge-confident px", file=sys.stderr)
-    if not rmse <= 0.5:
-        print(f"# QUALITY GATE FAILED: RMSE {rmse:.4f} > 0.5 px",
+    print(f"# quality: RMSE {rmse:.4f} px  P50 {p50:.4f}  P90 {p90:.4f} "
+          f"on {cover * 100:.1f}% edge-confident px", file=sys.stderr)
+
+    key = f"{S}x{V}x{U}x{D}"
+    try:
+        with open(REF_ANCHOR_FILE) as f:
+            ref = json.load(f)[key]
+    except (OSError, KeyError):
+        ref = None
+    if ref is not None:
+        print(f"# reference anchor ({key}): RMSE {ref['rmse_px']} "
+              f"P90 {ref['p90_px']} on {ref['coverage'] * 100:.1f}%",
               file=sys.stderr)
-        sys.exit(1)
+        quality_ok = (rmse <= ref["rmse_px"] + RMSE_MARGIN_PX
+                      and p90 <= ref["p90_px"] + P90_MARGIN_PX)
+    else:
+        print(f"# WARNING: no reference anchor for {key}; falling back "
+              f"to an absolute P50 gate", file=sys.stderr)
+        quality_ok = p50 <= 0.5
+
+    # JSON first — a quality failure must not discard the measurement
+    # (round-2 advisor #2).
     print(json.dumps({
         "metric": "skysatLR18_synthetic_end_to_end_throughput",
         "value": round(mpixps, 4),
         "unit": "MPix/s",
         "vs_baseline": round(mpixps / baseline_mpixps, 2),
+        "cold_s": round(cold_s, 1),
+        "steadystate_s": round(warm_s, 1),
+        "compile_s": round(max(0.0, cold_s - warm_s), 1),
         "quality_rmse_px": round(rmse, 4),
+        "quality_p50_px": round(p50, 4),
+        "quality_p90_px": round(p90, 4),
+        "quality_ref_rmse_px": ref["rmse_px"] if ref else None,
+        "quality_ok": bool(quality_ok),
     }))
+    if not quality_ok:
+        print("# QUALITY GATE FAILED (see anchor above)", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -279,8 +279,8 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
 
 
 def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
-                 state: Depth2DState, s_hats, *, early_stop: bool,
-                 axis_name=None, **kw):
+                 state: Depth2DState, s_hats, n_valid=None, *,
+                 early_stop: bool, axis_name=None, **kw):
     """Run the ENTIRE center-outward schedule in one device call.
 
     A lax.while_loop over the pass index with the early-stop condition
@@ -292,10 +292,17 @@ def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     still-unclaimed active pixels), so stopping at the first
     remaining==0 is bit-identical to the chunked driver.
 
+    ``n_valid`` (traced int32, default: all of ``s_hats``) bounds the
+    passes actually executed — the chunked driver pads the tail chunk
+    to the fixed ``pass_chunk`` length and trims here, so every chunk
+    dispatch reuses ONE compiled executable (r2's variable-length tail
+    cost one extra XLA+Mosaic compile per pyramid level).
+
     With ``axis_name`` the remaining count is psum'd across the mesh
     (the sharded driver runs this whole schedule inside shard_map).
     """
-    n = s_hats.shape[0]
+    n = s_hats.shape[0] if n_valid is None else jnp.asarray(
+        n_valid, jnp.int32)
 
     def cond(carry):
         i, _st, remaining = carry
@@ -419,14 +426,17 @@ class Depth2DComputer:
         done = 0
         t_chunk = _time.time()
         while done < len(schedule):
-            # variable-length tail chunk (repeating a pass to pad is NOT
-            # a no-op: the selective median sees propagation-painted
-            # values — costs at most one extra compilation instead)
+            # fixed-length chunks: the tail is padded (pad values are
+            # never executed — n_valid bounds the on-device loop) so all
+            # dispatches share one compiled executable
             part = schedule[done:done + chunk]
-            done += len(part)
+            n_valid = len(part)
+            done += n_valid
+            part = part + [0] * (chunk - n_valid)
             state, _n_done, remaining = fwd(
                 self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
-                epis_padded, state, jnp.asarray(part, jnp.int32))
+                epis_padded, state, jnp.asarray(part, jnp.int32),
+                jnp.int32(n_valid))
             remaining = int(remaining)  # host sync paces the dispatches
             if self.verbose:
                 now = _time.time()

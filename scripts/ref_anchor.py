@@ -1,0 +1,136 @@
+"""Measure the COMPILED REFERENCE's accuracy on the bench scene(s) and
+freeze it as the bench quality anchor (REF_ANCHOR.json).
+
+Round-2 verdict: the old absolute gate (RMSE <= 0.5 px vs synthetic GT)
+demanded something the reference algorithm cannot do — the reference
+itself scores ~1.37 px RMSE on the bench scene because the statistic is
+dominated by heavy-tailed occlusion/ambiguous-line outliers that ANY
+faithful implementation reproduces (median |err| is ~0.08 px).  The
+meaningful gate is a DELTA against what the reference binary actually
+achieves on the identical scene.
+
+This script:
+  1. generates the bench synthetic scene (bench.synthetic_sequence),
+  2. writes it as float32 TIFF frames,
+  3. runs .refbuild/ref_driver (the unmodified reference library, built
+     by scripts/build_reference.sh) in fine-to-coarse mode,
+  4. computes robust error statistics of the reference's fused maps vs
+     the scene's ground truth, over the PRE-RUN edge-confidence mask
+     (a pure function of the input — identical for both engines, unlike
+     the post-run mutated C_e planes),
+  5. merges them into REF_ANCHOR.json keyed by "SxVxUxD".
+
+bench.py gates on these constants: repo_RMSE <= ref_RMSE + 0.1 px and
+repo_P90 <= ref_P90 + 0.1 px.
+
+Usage:  python scripts/ref_anchor.py [small|full|both]   (default both)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER = os.path.join(ROOT, ".refbuild", "ref_driver")
+ANCHOR = os.path.join(ROOT, "REF_ANCHOR.json")
+
+CONFIGS = {
+    "small": (24, 128, 256, 32),
+    "full": (100, 540, 960, 120),
+}
+DMIN, DMAX = -1.0, 4.0
+
+
+def stats_on(fused_s_v_u, gt_s_u, mask_s_v_u):
+    gt = np.broadcast_to(gt_s_u[:, None, :], fused_s_v_u.shape)
+    err = np.abs(fused_s_v_u - gt)[mask_s_v_u]
+    return {
+        "coverage": round(float(mask_s_v_u.mean()), 4),
+        "rmse_px": round(float(np.sqrt(np.mean(err ** 2))), 4),
+        "p50_px": round(float(np.percentile(err, 50)), 4),
+        "p90_px": round(float(np.percentile(err, 90)), 4),
+        "frac_within_0p5": round(float((err <= 0.5).mean()), 4),
+    }
+
+
+def edge_mask(vol_v_s_u_c):
+    """PRE-RUN edge-confidence values > edge_score_threshold at the
+    finest level, after the reference's own normalization (global max
+    for float input, rslf_depth_computation.hpp:669-687)."""
+    import jax.numpy as jnp
+
+    from remotesensingproject_tpu.config import DEFAULT_PARAMS
+    from remotesensingproject_tpu.ops.edge_confidence import (
+        edge_confidence_volume)
+    from remotesensingproject_tpu.ops.normalize import normalize_volume
+
+    epis = normalize_volume(jnp.asarray(vol_v_s_u_c), -1.0)
+    ce_vsu, _ = edge_confidence_volume(epis, DEFAULT_PARAMS)
+    ce = np.transpose(np.asarray(ce_vsu), (1, 0, 2))  # [S, V, U]
+    return ce > DEFAULT_PARAMS.edge_score_threshold
+
+
+def run_config(name):
+    import cv2
+
+    from remotesensingproject_tpu.utils.io import read_mat_from_yml
+
+    S, V, U, D = CONFIGS[name]
+    from bench import synthetic_sequence
+    vol, gt_s_u = synthetic_sequence(S, V, U)
+    vol = np.asarray(vol)  # [V, S, U, 1] float32
+
+    with tempfile.TemporaryDirectory() as td:
+        frames = os.path.join(td, "frames")
+        outdir = os.path.join(td, "out")
+        os.makedirs(frames)
+        os.makedirs(outdir)
+        for s in range(S):
+            cv2.imwrite(os.path.join(frames, f"{s:03d}.tif"),
+                        vol[:, s, :, 0])
+        t0 = time.time()
+        subprocess.run(
+            [DRIVER, frames + "/", "tif", str(DMIN), str(DMAX), str(D),
+             "ftc", outdir + "/"],
+            check=True, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL)
+        ref_s = time.time() - t0
+        fused = np.stack([
+            read_mat_from_yml(outdir, f"fused_{s:03d}")
+            for s in range(S)])
+
+    mask = edge_mask(vol)
+    st = stats_on(fused, gt_s_u, mask)
+    st["ref_run_s"] = round(ref_s, 1)
+    st["shape"] = {"S": S, "V": V, "U": U, "D": D,
+                   "dmin": DMIN, "dmax": DMAX}
+    return f"{S}x{V}x{U}x{D}", st
+
+
+def main():
+    which = sys.argv[1] if len(sys.argv) > 1 else "both"
+    names = ["small", "full"] if which == "both" else [which]
+    anchor = {}
+    if os.path.exists(ANCHOR):
+        with open(ANCHOR) as f:
+            anchor = json.load(f)
+    for name in names:
+        key, st = run_config(name)
+        anchor[key] = st
+        print(f"{name} ({key}): {st}")
+        with open(ANCHOR, "w") as f:
+            json.dump(anchor, f, indent=1)
+    print(f"wrote {ANCHOR}")
+
+
+if __name__ == "__main__":
+    main()

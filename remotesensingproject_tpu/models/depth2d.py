@@ -133,7 +133,7 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     padded = None
     if pad_static is not None:
         padded = (epis_padded, pad_static[0], pad_static[1])
-    if (use_pallas and params.interpolation == "linear" and C == 1
+    if (use_pallas and params.interpolation == "linear" and C in (1, 3)
             and not with_k):
         # pixel-compacted kernel: cost scales with the ACTIVE pixel
         # count (late passes leave spread-out survivors that keep every
@@ -324,6 +324,34 @@ def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     return state, n_done, remaining
 
 
+# Jitted-callable caches shared across Depth2DComputer instances: a
+# fresh jax.jit wrapper per run() would re-trace (seconds per pyramid
+# level) and re-query the persistent compilation cache on EVERY
+# pipeline run — with these, a warm in-process rerun reuses the
+# already-loaded executables (bench.py's steady-state timing measures
+# the engine, not the tracer).
+_SCHEDULE_FWD_CACHE: dict = {}
+_EDGE_JIT = None
+
+
+def _get_schedule_fwd(early_stop: bool, **kw):
+    key = (early_stop,) + tuple(sorted(kw.items()))
+    fn = _SCHEDULE_FWD_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(
+            functools.partial(_schedule_fn, early_stop=early_stop, **kw),
+            donate_argnums=(5,))
+        _SCHEDULE_FWD_CACHE[key] = fn
+    return fn
+
+
+def _edge_confidence_jit(epis, params):
+    global _EDGE_JIT
+    if _EDGE_JIT is None:
+        _EDGE_JIT = jax.jit(edge_confidence_volume, static_argnums=1)
+    return _EDGE_JIT(epis, params)
+
+
 class Depth2DComputer:
     """Driver mirroring Depth2DComputer's ctor/run/getters."""
 
@@ -377,8 +405,7 @@ class Depth2DComputer:
         V, S, U, C = self.epis.shape
         frames = jnp.transpose(self.epis, (1, 0, 2, 3))  # [S, V, U, C]
 
-        ce_vsu, mask_vsu = jax.jit(edge_confidence_volume, static_argnums=1)(
-            self.epis, self.params)
+        ce_vsu, mask_vsu = _edge_confidence_jit(self.epis, self.params)
         ce = jnp.transpose(ce_vsu, (1, 0, 2))
         ce_mask = jnp.transpose(mask_vsu, (1, 0, 2))
 
@@ -418,10 +445,7 @@ class Depth2DComputer:
         # dispatch of the whole schedule trips the TPU runtime's
         # execution watchdog at production shapes ("TPU worker process
         # crashed"), wedging the chip — the r1 bench crash root cause.
-        fwd = jax.jit(
-            functools.partial(_schedule_fn, early_stop=self.early_stop,
-                              **kw),
-            donate_argnums=(5,))
+        fwd = _get_schedule_fwd(self.early_stop, **kw)
         chunk = self.pass_chunk
         done = 0
         t_chunk = _time.time()

@@ -29,6 +29,12 @@ from ..config import DEFAULT_PARAMS, DEFAULT_PYRAMID, DepthParams, \
 from ..ops.pyramid import bounds_from_parent, downsample_epis, fuse_disp_maps
 from .depth2d import Depth2DComputer
 
+# Module-level jitted wrappers: shared across FineToCoarse instances so
+# repeat pipeline runs don't re-trace (see models.depth2d's caches).
+_DS_JIT = jax.jit(downsample_epis)
+_BOUNDS_JIT = jax.jit(bounds_from_parent)
+_FUSE_JIT = jax.jit(fuse_disp_maps, static_argnums=2)
+
 
 class FineToCoarse:
     def __init__(self, epis_v_s_u_c, dmin: float, dmax: float, dim_d: int,
@@ -65,7 +71,6 @@ class FineToCoarse:
         if max_depth < 1:
             max_depth = np.iinfo(np.int32).max
 
-        ds_fn = jax.jit(downsample_epis)
         level = raw
         while (level.shape[0] > pyramid.min_spatial_dim
                and level.shape[2] > pyramid.min_spatial_dim
@@ -93,7 +98,7 @@ class FineToCoarse:
                     early_stop=early_stop, pass_chunk=pass_chunk,
                     coarse_mode=coarse_mode))
             self.level_params.append(lvl_params)
-            level = ds_fn(level)
+            level = _DS_JIT(level)
             if self.is_uint8:
                 # saturate_cast<uchar> rounding of the CV_8U pipeline
                 level = jnp.clip(jnp.round(level), 0, 255)
@@ -115,7 +120,6 @@ class FineToCoarse:
             return
         import time as _time
 
-        bounds_fn = jax.jit(bounds_from_parent)
         for p, computer in enumerate(self.computers):
             t0 = _time.time()
             computer.run()
@@ -123,7 +127,7 @@ class FineToCoarse:
                 print(f"level {p} done in {_time.time() - t0:.1f}s")
             if p < len(self.computers) - 1:
                 nxt = self.computers[p + 1]
-                dmin_new, dmax_new = bounds_fn(
+                dmin_new, dmax_new = _BOUNDS_JIT(
                     computer.get_depths_s_v_u(),
                     computer.get_valid_depths_mask_s_v_u(),
                     nxt.dmin_s_v_u, nxt.dmax_s_v_u)
@@ -135,7 +139,7 @@ class FineToCoarse:
         disp_pyr = [c.get_depths_s_v_u() for c in self.computers]
         validity_pyr = [c.get_valid_depths_mask_s_v_u()
                         for c in self.computers]
-        return jax.jit(fuse_disp_maps, static_argnums=2)(
+        return _FUSE_JIT(
             disp_pyr, validity_pyr,
             self.pyramid.final_median_filter_size)
 

@@ -163,8 +163,9 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
                 start = i0b + (u_p + PAD)                  # (S_tot, 128)
                 base = u_p - jax.lax.rem(u_p, 128)
                 rel0 = start - base
-                ga_scr[:, blk] = jnp.zeros((S_tot, 128), DTYPE)
-                gb_scr[:, blk] = jnp.zeros((S_tot, 128), DTYPE)
+                for c in range(C):
+                    ga_scr[c, :, blk] = jnp.zeros((S_tot, 128), DTYPE)
+                    gb_scr[c, :, blk] = jnp.zeros((S_tot, 128), DTYPE)
                 idx_lo = s_lo + (u_p + PAD) - base
                 idx_hi = s_hi + (u_p + PAD) - base + 1
                 for g in range(n_grp):
@@ -177,17 +178,19 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
                         in_b = (relb >= 0) & (relb < 128)
                         rc = jnp.clip(rel, 0, 127)
                         rbc = jnp.clip(relb, 0, 127)
-                        # C == 1 fast path only; C > 1 handled by the
-                        # dense kernel (wrapper gates on C)
-                        src = epi_vmem[0, :,
-                                       pl.ds(pl.multiple_of(
-                                           base + g * 128, 128), 128)]
-                        va = jnp.take_along_axis(src, rc, axis=1)
-                        vb = jnp.take_along_axis(src, rbc, axis=1)
-                        ga_scr[:, blk] = jnp.where(in_a, va,
-                                                   ga_scr[:, blk])
-                        gb_scr[:, blk] = jnp.where(in_b, vb,
-                                                   gb_scr[:, blk])
+                        # per-channel gather from the same window (the
+                        # shear geometry is channel-independent)
+                        for c in range(C):
+                            src = epi_vmem[c, :,
+                                           pl.ds(pl.multiple_of(
+                                               base + g * 128, 128),
+                                               128)]
+                            va = jnp.take_along_axis(src, rc, axis=1)
+                            vb = jnp.take_along_axis(src, rbc, axis=1)
+                            ga_scr[c, :, blk] = jnp.where(
+                                in_a, va, ga_scr[c, :, blk])
+                            gb_scr[c, :, blk] = jnp.where(
+                                in_b, vb, gb_scr[c, :, blk])
                 # validity: floor >= 0 and ceil <= U-1 at this pixel
                 ok = (u_p >= -i0b) \
                     & (u_p <= (U - 1) - co_scr[:, blk]) & s_ok
@@ -195,27 +198,39 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
                 valid_scr[:, blk] = (ok & cand_b).astype(DTYPE)
 
             t_ = t_scr[:, :]
-            row_a = ga_scr[:, :]
-            shear = jnp.where(t_ == 0, row_a,
-                              (DTYPE(1.0) - t_) * row_a
-                              + t_ * gb_scr[:, :])
             validf = valid_scr[:, :]
+            at_hat = (s_col == s_hat).astype(DTYPE)
+            r0 = []     # per-channel masked radiance (S_tot, W)
+            rpos = []
+            rbar0 = []  # per-channel init: the s_hat row (shift = 0)
+            for c in range(C):
+                row_a = ga_scr[c, :, :]
+                shear_c = jnp.where(t_ == 0, row_a,
+                                    (DTYPE(1.0) - t_) * row_a
+                                    + t_ * gb_scr[c, :, :])
+                r0_c = shear_c * validf
+                r0.append(r0_c)
+                rpos.append(jnp.maximum(r0_c, 0.0))
+                rbar0.append(jnp.sum(r0_c * at_hat, axis=0,
+                                     keepdims=True))
+            card = jnp.sum(validf, axis=0, keepdims=True)
 
             # ---- truncated mean shift on (S_tot, W) ----------------
-            r0 = shear * validf
-            rpos = jnp.maximum(r0, 0.0)
-            card = jnp.sum(validf, axis=0, keepdims=True)
-            # r_bar init: the s_hat row (shift there is 0)
-            at_hat = (s_col == s_hat).astype(DTYPE)
-            rbar0 = jnp.sum(r0 * at_hat, axis=0, keepdims=True)
-
-            def ms_iter(state):
-                rbar_d, _k = state
-                diff = r0 - rbar_d
-                k = jnp.maximum(1.0 - a * (diff * diff), 0.0) * validf
+            # K(r - r_bar) = max(1 - a * sum_c diff_c^2, 0): the channel
+            # sum generalizes the 1-ch x3 scaling (chan_scale in `a`;
+            # src/rslf_kernels.cpp:40-54 for the 3-ch reduce).
+            def ms_iter(rbar_t):
+                dsq = None
+                for c in range(C):
+                    diff = r0[c] - rbar_t[c]
+                    dsq = diff * diff if dsq is None else dsq + diff * diff
+                k = jnp.maximum(1.0 - a * dsq, 0.0) * validf
                 sum_k = jnp.sum(k, axis=0, keepdims=True)
-                num = jnp.sum(rpos * k, axis=0, keepdims=True)
-                new_rbar = jnp.where(sum_k > 0, num / sum_k, 0.0)
+                new_rbar = tuple(
+                    jnp.where(sum_k > 0,
+                              jnp.sum(rpos[c] * k, axis=0,
+                                      keepdims=True) / sum_k, 0.0)
+                    for c in range(C))
                 return new_rbar, k
 
             def ms_cond(st):
@@ -225,12 +240,17 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
 
             def ms_step(st):
                 it, rb, k, _ = st
-                nrb, nk = ms_iter((rb, k))
-                return it + 1, nrb, nk, jnp.all(nrb == rb)
+                nrb, nk = ms_iter(rb)
+                same = jnp.array(True)
+                for c in range(C):
+                    same = jnp.logical_and(same,
+                                           jnp.all(nrb[c] == rb[c]))
+                return it + 1, nrb, nk, same
 
             k0 = jnp.zeros((S_tot, W), DTYPE)
             _, rbar_d, k_last, _ = jax.lax.while_loop(
-                ms_cond, ms_step, (jnp.int32(0), rbar0, k0, False))
+                ms_cond, ms_step,
+                (jnp.int32(0), tuple(rbar0), k0, False))
 
             sum_k = jnp.sum(k_last, axis=0, keepdims=True)
             score = jnp.where(card > 0, sum_k / card, 0.0)  # (1, W)
@@ -248,12 +268,13 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
                 ssum = jnp.sum(jnp.where(is_cand[0:1, lo:hi], sc, 0.0))
                 onehot = (lane128 == bidx).astype(DTYPE)
                 dbest = jnp.sum(dblk[p] * onehot)
-                rbest = jnp.sum(rbar_d[0:1, lo:hi] * onehot)
                 slot = b * BATCH + p
                 outb_ref[0, slot] = best
                 outb_ref[1, slot] = ssum
                 outb_ref[2, slot] = dbest
-                outb_ref[3, slot] = rbest
+                for c in range(C):
+                    outb_ref[3 + c, slot] = jnp.sum(
+                        rbar_d[c][0:1, lo:hi] * onehot)
             return 0
 
         jax.lax.fori_loop(0, n_batches, batch_body, 0)
@@ -267,7 +288,13 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
                             active_v_u=None, padded=None,
                             interpret: bool = False,
                             dmin_v_u=None, dmax_v_u=None) -> SweepResult:
-    """Pixel-compacted sweep (C == 1, no k_best).
+    """Pixel-compacted sweep (C in (1, 3), no k_best).
+
+    RGB (C == 3) gathers each channel from the same sheared window and
+    runs the mean shift with the channel-summed bandwidth kernel
+    (src/rslf_kernels.cpp:40-54) — the per-pass cost still scales with
+    the active pixel count, covering the reference's costliest headline
+    config (RGB MansionLR, report/rs_report.tex:427).
 
     ``active_v_u``: [V, U] bool — pixels to sweep (required; the point
     of this kernel).  Outputs at inactive pixels are garbage, exactly
@@ -283,8 +310,8 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     if params.interpolation != "linear":
         raise NotImplementedError("linear interpolation only")
     V, S, U, C = epis_v_s_u_c.shape
-    if C != 1:
-        raise NotImplementedError("pixel kernel supports C == 1")
+    if C not in (1, 3):
+        raise NotImplementedError("pixel kernel supports C in (1, 3)")
     if padded is None:
         padded = prepare_padded_epis(epis_v_s_u_c, dmin, dmax,
                                      params.slope_factor)
@@ -350,9 +377,9 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
             pltpu.VMEM((S_tot, W), DTYPE),            # t
             pltpu.VMEM((S_tot, W), jnp.int32),        # ceil offset
             pltpu.VMEM((S_tot, W), DTYPE),            # valid
-            pltpu.VMEM((S_tot, W), DTYPE),            # gather a
-            pltpu.VMEM((S_tot, W), DTYPE),            # gather b
-            pltpu.SMEM((4, Upad), DTYPE),             # compact out
+            pltpu.VMEM((C, S_tot, W), DTYPE),         # gather a
+            pltpu.VMEM((C, S_tot, W), DTYPE),         # gather b
+            pltpu.SMEM((3 + C, Upad), DTYPE),         # compact out
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -361,7 +388,7 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((V, 4, Upad), DTYPE)],
+        out_shape=[jax.ShapeDtypeStruct((V, 3 + C, Upad), DTYPE)],
         interpret=interpret,
     )(n_act, *operands)[0]
 
@@ -374,6 +401,6 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
         best_score=back(0),
         score_mean=back(1) / DTYPE(dim_d),
         best_depth=back(2),
-        rbar=back(3)[..., None],
+        rbar=jnp.stack([back(3 + c) for c in range(C)], axis=-1),
         k_best=jnp.zeros((V, S, U), DTYPE),
     )

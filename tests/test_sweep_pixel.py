@@ -13,9 +13,11 @@ from remotesensingproject_tpu.ops.sweep_pallas_pixel import (
     sweep_pile_pallas_pixel)
 
 
-@pytest.mark.parametrize("seed,s_hat", [(0, 3), (1, 0), (2, 5)])
-def test_pixel_kernel_matches_xla(seed, s_hat):
-    vol, _ = oracle.make_synthetic_lf(S=6, V=5, U=40, C=1, n_objects=3,
+@pytest.mark.parametrize("seed,s_hat,C",
+                         [(0, 3, 1), (1, 0, 1), (2, 5, 1),
+                          (0, 3, 3), (2, 5, 3)])
+def test_pixel_kernel_matches_xla(seed, s_hat, C):
+    vol, _ = oracle.make_synthetic_lf(S=6, V=5, U=40, C=C, n_objects=3,
                                       seed=seed, dmin=-1.0, dmax=1.5)
     epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
     V, S, U, C = epis.shape
@@ -72,11 +74,11 @@ def test_pixel_kernel_sparse_activity():
                                atol=2e-5)
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_pixel_kernel_per_pixel_bounds(seed):
+@pytest.mark.parametrize("seed,C", [(0, 1), (1, 1), (0, 3)])
+def test_pixel_kernel_per_pixel_bounds(seed, C):
     """Native per-pixel candidate grids (the bounds-edited pyramid
     levels) vs the XLA path's exact per-pixel sweep."""
-    vol, _ = oracle.make_synthetic_lf(S=6, V=5, U=40, C=1, n_objects=3,
+    vol, _ = oracle.make_synthetic_lf(S=6, V=5, U=40, C=C, n_objects=3,
                                       seed=seed, dmin=-1.0, dmax=1.5)
     epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
     V, S, U, C = epis.shape

@@ -262,14 +262,24 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     else:
         source_mask = mask_new
 
-    claim_out, targets_out = propagate(
-        st.claim, frames, filtered, rbar_new, source_mask, s_hat,
-        d_bounds, params.slope_factor, params.propagation_epsilon,
-        payloads,
-        # present-offsets-only painting applies when every pixel shares
-        # the level's uniform candidate grid (bounds-edited levels use
-        # per-tile/per-pixel grids, where the dense scan stays)
-        dim_d=dim_d if uniform_bounds else 0)
+    if use_pallas:
+        # VMEM line-paint kernel: handles arbitrary per-pixel depth
+        # values (uniform AND bounds-edited levels), bit-identical to
+        # the XLA path (tests/test_propagation_pallas.py)
+        from ..ops.propagation_pallas import propagate_pallas
+        claim_out, targets_out = propagate_pallas(
+            st.claim, frames, filtered, rbar_new, source_mask, s_hat,
+            d_bounds, params.slope_factor, params.propagation_epsilon,
+            payloads, interpret=interp)
+    else:
+        claim_out, targets_out = propagate(
+            st.claim, frames, filtered, rbar_new, source_mask, s_hat,
+            d_bounds, params.slope_factor, params.propagation_epsilon,
+            payloads,
+            # present-offsets-only painting applies when every pixel
+            # shares the level's uniform candidate grid (bounds-edited
+            # levels use per-tile/per-pixel grids -> dense scan)
+            dim_d=dim_d if uniform_bounds else 0)
 
     st = st._replace(best_depth=targets_out[0], disp_conf=targets_out[1],
                      claim=claim_out)

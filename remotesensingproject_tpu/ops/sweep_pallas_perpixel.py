@@ -204,12 +204,17 @@ def _sweep_pp_body(j, s_hat_ref, bounds_vmem, epi_ref,
                 base = pl.multiple_of(bm - rem, 128)
                 for c in range(C):
                     chunks = []
+                    # NB rolls use the positive-equivalent amount:
+                    # hardware tpu.dynamic_rotate diverges from
+                    # interpret mode for negative shifts (measured on
+                    # v5e; see ops/propagation_pallas.py)
                     for jj in range(2):
                         win = epi_ref[c, pl.ds(b * 8, 8),
                                       pl.ds(pl.multiple_of(
                                           base + jj * 128, 128), 256)]
+                        sh = jnp.where(rem == 0, 0, 256 - rem)
                         chunks.append(
-                            pltpu.roll(win, -rem, axis=1)[:, :128])
+                            pltpu.roll(win, sh, axis=1)[:, :128])
                     # full-width store at a static sublane offset; lanes
                     # [256, 384) are never selected by the scan — pad
                     # with a dummy chunk.
@@ -223,7 +228,8 @@ def _sweep_pp_body(j, s_hat_ref, bounds_vmem, epi_ref,
                 rows = []
                 for c in range(C):
                     win = reb_scr[c, pl.ds(0, S_tot), pl.ds(base, 256)]
-                    rows.append(pltpu.roll(win, -rem, axis=1)[:, :TU])
+                    sh = jnp.where(rem == 0, 0, 256 - rem)
+                    rows.append(pltpu.roll(win, sh, axis=1)[:, :TU])
                 hit_a = rel2 == k
                 hit_b = rel2 == k - 1
                 va = tuple(va_c + jnp.where(hit_a, r, 0.0)
@@ -252,7 +258,8 @@ def _sweep_pp_body(j, s_hat_ref, bounds_vmem, epi_ref,
                 rows = []
                 for c in range(C):
                     win = epi_ref[c, pl.ds(0, S_tot), pl.ds(base, 256)]
-                    rows.append(pltpu.roll(win, -rem, axis=1)[:, :TU])
+                    sh = jnp.where(rem == 0, 0, 256 - rem)
+                    rows.append(pltpu.roll(win, sh, axis=1)[:, :TU])
                 hit_a = krel == k
                 hit_b = krel == k - 1
                 va = tuple(va_c + jnp.where(hit_a, r, 0.0)

@@ -90,12 +90,12 @@ timeit("schedule 8 passes", 8)
 import remotesensingproject_tpu.models.depth2d as d2d
 from remotesensingproject_tpu.ops.sweep import SweepResult
 
-real_sweep = d2d.sweep_pile_pallas if hasattr(d2d, "sweep_pile_pallas") \
-    else None
 import remotesensingproject_tpu.ops.sweep_pallas as sp
-import remotesensingproject_tpu.ops.propagation as prop_mod
+import remotesensingproject_tpu.ops.sweep_pallas_pixel as spx
 
-orig_sweep = sp.sweep_pile_pallas
+# the uniform-bounds pass routes to the PIXEL-compacted kernel
+# (depth2d._pass_fn imports it at trace time), so that is the one to stub
+orig_sweep = spx.sweep_pile_pallas_pixel
 orig_prop = d2d.propagate
 orig_med = d2d.selective_median
 
@@ -124,13 +124,13 @@ def with_stubs(name, sweep=None, prop=None, med=None):
     # re-bind the names _pass_fn closes over
     d2d.propagate = prop or orig_prop
     d2d.selective_median = med or orig_med
-    sweep_target = sweep or orig_sweep
-    import remotesensingproject_tpu.ops.sweep_pallas as spm
-    spm.sweep_pile_pallas = sweep_target
-    timeit(name, 8)
-    d2d.propagate = orig_prop
-    d2d.selective_median = orig_med
-    spm.sweep_pile_pallas = orig_sweep
+    spx.sweep_pile_pallas_pixel = sweep or orig_sweep
+    try:
+        timeit(name, 8)
+    finally:
+        d2d.propagate = orig_prop
+        d2d.selective_median = orig_med
+        spx.sweep_pile_pallas_pixel = orig_sweep
 
 
 with_stubs("8 passes, sweep stubbed", sweep=stub_sweep)

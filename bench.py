@@ -99,6 +99,55 @@ def synthetic_sequence(S, V, U, seed=0):
     return vol, gt_s_u
 
 
+def synthetic_sequence_rgb(S, V, U, seed=0):
+    """RGB variant of the layered scene (BENCH_RGB=1): per-layer RGB
+    gains decorrelate the channels, and the volume is quantized to
+    uint8 so the repo engine and the reference binary (which reads the
+    scene back from 8-bit PNGs, scripts/ref_anchor.py) consume
+    IDENTICAL radiance data.  Models the reference's costliest headline
+    config, RGB MansionLR (report/rs_report.tex:427: 1146x720, d 0:4).
+    """
+    rng = np.random.default_rng(seed + 101)
+    s_hat = S // 2
+    n_layers = 6
+    disps = np.sort(rng.uniform(0.0, 4.0, n_layers))
+    intervals = [(-10 * U, 10 * U)]
+    for _ in range(1, n_layers):
+        a = int(rng.integers(0, U - 10))
+        b = a + int(rng.integers(8, U // 4))
+        intervals.append((a, b))
+    K = 8
+    lams = np.exp(rng.uniform(np.log(6.0), np.log(60.0),
+                              (n_layers, K))).astype(np.float32)
+    amps = rng.uniform(0.3, 1.0, (n_layers, K)).astype(np.float32)
+    amps *= 0.42 / np.abs(amps).sum(1, keepdims=True)
+    phs = rng.uniform(0, 2 * np.pi, (n_layers, K)).astype(np.float32)
+    gains = rng.uniform(0.55, 1.0, (n_layers, 3)).astype(np.float32)
+    rowmod = rng.random((V,), dtype=np.float32) * 0.12
+    u_idx = np.arange(U)
+    shifts = (s_hat - np.arange(S))[None, :, None] * disps[:, None, None]
+    u0 = u_idx[None, None, :] - shifts
+    a = np.array([iv[0] for iv in intervals])[:, None, None]
+    b = np.array([iv[1] for iv in intervals])[:, None, None]
+    covers = (u0 >= a) & (u0 <= b)
+    owner = np.where(covers.any(0),
+                     (n_layers - 1) - np.argmax(covers[::-1], axis=0),
+                     0)                            # [S, U]
+    src = np.take_along_axis(u0, owner[None], 0)[0]
+    val0 = 0.55 + (np.sin(2 * np.pi * src[..., None]
+                          / lams[owner] + phs[owner])
+                   * amps[owner]).sum(-1).astype(np.float32)  # [S, U]
+    g_su = gains[owner]                            # [S, U, 3]
+    import jax.numpy as jnp
+
+    volf = (jnp.asarray(val0)[None, :, :, None]
+            * jnp.asarray(g_su)[None]
+            + jnp.asarray(rowmod)[:, None, None, None])  # [V, S, U, 3]
+    vol_u8 = jnp.clip(jnp.round(volf * 255.0), 0, 255).astype(jnp.uint8)
+    gt_s_u = disps[owner].astype(np.float32)
+    return vol_u8, gt_s_u
+
+
 def edge_mask(vol, params):
     """PRE-RUN finest-level edge-confidence mask — identical definition
     to scripts/ref_anchor.py (pure function of the input, so the anchor
@@ -147,14 +196,27 @@ def main():
     print(f"# compilation cache: {cache_dir}", file=sys.stderr)
 
     small = os.environ.get("BENCH_SMALL") == "1"
-    if small:
-        S, V, U, D = 24, 128, 256, 32
+    rgb = os.environ.get("BENCH_RGB") == "1"
+    if rgb:
+        # MansionLR config (report/rs_report.tex:427: 7409 s on the
+        # i3-6100 for 1146x720 RGB, d in [0, 4], 120 candidates)
+        S, V, U, D = (24, 128, 256, 32) if small else (100, 720, 1146, 120)
+        dmin, dmax = 0.0, 4.0
+        metric = "mansionLR_synthetic_rgb_end_to_end_throughput"
+        baseline_s = 7409.0 * (S * V * U) / (100 * 720 * 1146)
+        anchor_suffix = "rgb"
     else:
-        S, V, U, D = 100, 540, 960, 120
-    dmin, dmax = -1.0, 4.0
+        S, V, U, D = (24, 128, 256, 32) if small else (100, 540, 960, 120)
+        dmin, dmax = -1.0, 4.0
+        metric = "skysatLR18_synthetic_end_to_end_throughput"
+        baseline_s = 448.0 * (S * V * U) / (100 * 540 * 960)
+        anchor_suffix = ""
 
     t0 = time.time()
-    vol, gt_s_u = synthetic_sequence(S, V, U)
+    if rgb:
+        vol, gt_s_u = synthetic_sequence_rgb(S, V, U)
+    else:
+        vol, gt_s_u = synthetic_sequence(S, V, U)
     gen_s = time.time() - t0
     print(f"# generated volume {vol.shape} in {gen_s:.1f}s",
           file=sys.stderr)
@@ -175,7 +237,7 @@ def main():
 
     mpix = S * V * U / 1e6
     mpixps = mpix / warm_s
-    baseline_mpixps = 51.84 / 448.0  # SkysatLR18 [120] (BASELINE.md)
+    baseline_mpixps = mpix / baseline_s  # per-config (BASELINE.md rates)
     print(f"# end-to-end warm {warm_s:.1f}s for {mpix:.1f} MPix "
           f"({len(ftc.computers)} pyramid levels)", file=sys.stderr)
 
@@ -192,7 +254,7 @@ def main():
     print(f"# quality: RMSE {rmse:.4f} px  P50 {p50:.4f}  P90 {p90:.4f} "
           f"on {cover * 100:.1f}% edge-confident px", file=sys.stderr)
 
-    key = f"{S}x{V}x{U}x{D}"
+    key = f"{S}x{V}x{U}x{D}{anchor_suffix}"
     try:
         with open(REF_ANCHOR_FILE) as f:
             ref = json.load(f)[key]
@@ -212,7 +274,7 @@ def main():
     # JSON first — a quality failure must not discard the measurement
     # (round-2 advisor #2).
     print(json.dumps({
-        "metric": "skysatLR18_synthetic_end_to_end_throughput",
+        "metric": metric,
         "value": round(mpixps, 4),
         "unit": "MPix/s",
         "vs_baseline": round(mpixps / baseline_mpixps, 2),

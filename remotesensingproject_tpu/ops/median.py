@@ -68,7 +68,11 @@ def selective_median(src_v_u, frame_v_u_c, mask_v_u, size: int,
     ordered = jnp.sort(sortable, axis=0)
     n = jnp.sum(includes.astype(jnp.int32), axis=0)  # [V, U]
     pick = jnp.clip(n // 2, 0, size * size - 1)
-    med = jnp.take_along_axis(ordered, pick[None, :, :], axis=0)[0]
+    # one-hot select instead of take_along_axis: a depth-25 gather
+    # lowers to per-element dynamic indexing on TPU (slow); the masked
+    # sum selects the identical element
+    tap_idx = jnp.arange(size * size, dtype=jnp.int32)[:, None, None]
+    med = jnp.sum(jnp.where(tap_idx == pick[None], ordered, 0.0), axis=0)
     # center pixel is always included where mask_v_u is set (norm 0 < eps),
     # so n >= 1 there; unmasked outputs are 0 by the reference's contract.
     return jnp.where(mask_v_u, med, 0.0)

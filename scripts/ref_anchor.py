@@ -43,11 +43,14 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DRIVER = os.path.join(ROOT, ".refbuild", "ref_driver")
 ANCHOR = os.path.join(ROOT, "REF_ANCHOR.json")
 
+# name -> (S, V, U, D, dmin, dmax, rgb)
 CONFIGS = {
-    "small": (24, 128, 256, 32),
-    "full": (100, 540, 960, 120),
+    "small": (24, 128, 256, 32, -1.0, 4.0, False),
+    "full": (100, 540, 960, 120, -1.0, 4.0, False),
+    # MansionLR analog (rs_report.tex:427): RGB, d in [0, 4]
+    "rgb_small": (24, 128, 256, 32, 0.0, 4.0, True),
+    "rgb_full": (100, 720, 1146, 120, 0.0, 4.0, True),
 }
-DMIN, DMAX = -1.0, 4.0
 
 
 def stats_on(fused_s_v_u, gt_s_u, mask_s_v_u):
@@ -84,10 +87,17 @@ def run_config(name):
 
     from remotesensingproject_tpu.utils.io import read_mat_from_yml
 
-    S, V, U, D = CONFIGS[name]
-    from bench import synthetic_sequence
-    vol, gt_s_u = synthetic_sequence(S, V, U)
-    vol = np.asarray(vol)  # [V, S, U, 1] float32
+    S, V, U, D, dmin, dmax, rgb = CONFIGS[name]
+    if rgb:
+        from bench import synthetic_sequence_rgb
+        vol, gt_s_u = synthetic_sequence_rgb(S, V, U)
+        vol = np.asarray(vol)  # [V, S, U, 3] uint8
+        ext = "png"
+    else:
+        from bench import synthetic_sequence
+        vol, gt_s_u = synthetic_sequence(S, V, U)
+        vol = np.asarray(vol)  # [V, S, U, 1] float32
+        ext = "tif"
 
     with tempfile.TemporaryDirectory() as td:
         frames = os.path.join(td, "frames")
@@ -95,11 +105,17 @@ def run_config(name):
         os.makedirs(frames)
         os.makedirs(outdir)
         for s in range(S):
-            cv2.imwrite(os.path.join(frames, f"{s:03d}.tif"),
-                        vol[:, s, :, 0])
+            if rgb:
+                # channel order is irrelevant: every reference op is
+                # channel-symmetric (sum of squares)
+                cv2.imwrite(os.path.join(frames, f"{s:03d}.png"),
+                            vol[:, s, :, ::-1])
+            else:
+                cv2.imwrite(os.path.join(frames, f"{s:03d}.tif"),
+                            vol[:, s, :, 0])
         t0 = time.time()
         subprocess.run(
-            [DRIVER, frames + "/", "tif", str(DMIN), str(DMAX), str(D),
+            [DRIVER, frames + "/", ext, str(dmin), str(dmax), str(D),
              "ftc", outdir + "/"],
             check=True, stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL)
@@ -112,13 +128,16 @@ def run_config(name):
     st = stats_on(fused, gt_s_u, mask)
     st["ref_run_s"] = round(ref_s, 1)
     st["shape"] = {"S": S, "V": V, "U": U, "D": D,
-                   "dmin": DMIN, "dmax": DMAX}
-    return f"{S}x{V}x{U}x{D}", st
+                   "dmin": dmin, "dmax": dmax}
+    suffix = "rgb" if rgb else ""
+    return f"{S}x{V}x{U}x{D}{suffix}", st
 
 
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     names = ["small", "full"] if which == "both" else [which]
+    for n in names:
+        assert n in CONFIGS, f"unknown config {n}"
     anchor = {}
     if os.path.exists(ANCHOR):
         with open(ANCHOR) as f:

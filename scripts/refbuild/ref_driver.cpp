@@ -41,8 +41,39 @@ int main(int argc, char** argv) {
         std::fprintf(stderr, "no frames found in %s\n", folder.c_str());
         return 1;
     }
+    const int channels = imgs[0].channels();
     auto epis = rslf::build_epis_from_imgs(imgs);
     const int S = epis[0].cols > 0 ? epis[0].rows : 0;
+
+    if (channels == 3 && mode == "ftc") {
+        // RGB path: the library's cv::Vec3f instantiations
+        // (rslf_depth_computation.hpp _3ch aliases)
+        rslf::FineToCoarse<cv::Vec3f> ftc(epis, dmin, dmax, dim_d);
+        ftc.run();
+        rslf::Vec<rslf::Mat> maps, validity;
+        ftc.get_results(maps, validity);
+        for (int s = 0; s < (int)maps.size(); ++s) {
+            rslf::write_mat_to_yml(maps[s], outdir, idx_name("fused", s));
+            rslf::write_mat_to_yml(validity[s], outdir,
+                                   idx_name("fvalid", s));
+        }
+        return 0;
+    }
+    if (channels == 3 && mode == "2d") {
+        rslf::Depth2DComputer<cv::Vec3f> comp(epis, dmin, dmax, dim_d);
+        comp.run();
+        const auto& depths = comp.get_depths_s_v_u();
+        const auto& masks = comp.get_valid_depths_mask_s_v_u();
+        for (int s = 0; s < S; ++s) {
+            rslf::write_mat_to_yml(depths[s], outdir, idx_name("depth", s));
+            rslf::write_mat_to_yml(masks[s], outdir, idx_name("valid", s));
+            rslf::write_mat_to_yml(comp.m_disp_confidence_s_v_u[s], outdir,
+                                   idx_name("dispconf", s));
+            rslf::write_mat_to_yml(comp.m_edge_confidence_s_v_u[s], outdir,
+                                   idx_name("edgeconf", s));
+        }
+        return 0;
+    }
 
     if (mode == "2d") {
         rslf::Depth2DComputer<float> comp(epis, dmin, dmax, dim_d);

@@ -1,16 +1,27 @@
-"""Acceptance check on real TPU hardware: Pallas vs XLA pipeline parity.
+"""Acceptance check on real TPU hardware: Pallas vs XLA parity.
 
-Runs the full 2-D propagation pipeline twice on a synthetic light field —
-once with the Pallas kernels (use_pallas=True) and once with the exact
-XLA path — and reports the disparity RMSE between them (budget: 0.5 px,
-BASELINE.json), plus agreement statistics.
+The golden tests prove (on CPU) that the XLA path is bit-identical to
+the compiled reference binary; this script proves the MOSAIC-compiled
+kernels agree with that XLA path ON CHIP, at production shapes — the
+regime where hardware lowering has historically diverged from the
+interpret-mode tests (round-1 crash; round-3's negative
+tpu.dynamic_rotate divergence was caught exactly this way).
 
-Usage:  python scripts/tpu_acceptance.py [S V U D]
+Structure (compositional — a full-pipeline XLA oracle at production V
+is infeasible on chip: the dense jnp sweep costs ~0.3 s/row/pass, so
+one 540-row pass alone exceeds the runtime's execution watchdog):
 
-Defaults to the PRODUCTION SkysatLR18 shape (100 540 960 120) — the
-regime where Mosaic-compiled behavior historically diverged from the
-interpret-mode tests (round-1 crash).  Pass smaller dims for a quick
-smoke run.  A JSON summary is written to ACCEPTANCE_TPU.json.
+1. pixel-compacted sweep kernel vs the dense jnp sweep, ONE pass at the
+   full production shape (100, 540, 960, 120); the jnp oracle runs
+   host-paced in 32-row slices to stay under the watchdog;
+2. propagation line-paint kernel vs the XLA propagate, bitwise, at the
+   production plane shape;
+3. full Depth2DComputer pipeline, Pallas vs XLA, all 99 passes, at
+   production S/U/D with V=64 (the largest XLA-feasible height;
+   pass_chunk=1 keeps each dense dispatch under the watchdog).
+
+Usage:  python scripts/tpu_acceptance.py
+Writes ACCEPTANCE_TPU.json.
 """
 
 import json
@@ -19,31 +30,96 @@ import time
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "tests")
+sys.path.insert(0, "scripts")
 
 import numpy as np
 
 
-def main():
+def sweep_one_pass_ab(S=100, V=540, U=960, D=120, slice_rows=32):
     import jax
     import jax.numpy as jnp
 
     import oracle
-    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
-    from remotesensingproject_tpu.utils.profiling import (
-        enable_compilation_cache)
+    from remotesensingproject_tpu.config import DEFAULT_PARAMS
+    from remotesensingproject_tpu.ops.sweep import sweep_pile
+    from remotesensingproject_tpu.ops.sweep_pallas import (
+        prepare_padded_epis)
+    from remotesensingproject_tpu.ops.sweep_pallas_pixel import (
+        sweep_pile_pallas_pixel)
 
-    enable_compilation_cache()
-    args = [int(a) for a in sys.argv[1:]] or [100, 540, 960, 120]
-    S, V, U, D = args
+    dmin, dmax = -1.0, 2.0
+    params = DEFAULT_PARAMS
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=1, n_objects=4,
+                                      seed=1, dmin=dmin, dmax=dmax)
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    s_hat = S // 2
+    active = jnp.ones((V, U), bool)
+
+    padded = prepare_padded_epis(epis, dmin, dmax, params.slope_factor)
+    pad_f, s_pad = int(padded[1]), int(padded[2])
+    t0 = time.time()
+    # NB the padded volume must be a jit ARGUMENT — a captured device
+    # array is baked into the compile payload (HTTP 413 over axon)
+    pal = jax.jit(lambda e, a, ep: sweep_pile_pallas_pixel(
+        e, dmin, dmax, D, s_hat, params, active_v_u=a,
+        padded=(ep, pad_f, s_pad)))(epis, active, padded[0])
+    pal_d = np.asarray(pal.best_depth)
+    pal_s = np.asarray(pal.best_score)
+    t_pal = time.time() - t0
+
+    # jnp oracle, host-paced v-slices (each its own dispatch)
+    lo = jnp.full((slice_rows, U), np.float32(dmin))
+    hi = jnp.full((slice_rows, U), np.float32(dmax))
+    fn = jax.jit(lambda e, lo_, hi_: sweep_pile(
+        e, lo_, hi_, D, jnp.int32(s_hat), params))
+    ref_d = np.zeros((V, U), np.float32)
+    ref_s = np.zeros((V, U), np.float32)
+    t0 = time.time()
+    for v0 in range(0, V, slice_rows):
+        rows = min(slice_rows, V - v0)
+        sl = epis[v0:v0 + rows]
+        if rows < slice_rows:  # pad tail slice to the jitted shape
+            sl = jnp.pad(sl, ((0, slice_rows - rows), (0, 0), (0, 0),
+                              (0, 0)), mode="edge")
+        out = fn(sl, lo, hi)
+        ref_d[v0:v0 + rows] = np.asarray(out.best_depth)[:rows]
+        ref_s[v0:v0 + rows] = np.asarray(out.best_score)[:rows]
+        print(f"  oracle rows {v0 + rows}/{V}", flush=True)
+    t_ref = time.time() - t0
+
+    exact = float((pal_d == ref_d).mean())
+    diff = np.abs(pal_d - ref_d)
+    rmse = float(np.sqrt((diff ** 2).mean()))
+    return {
+        "shape": {"S": S, "V": V, "U": U, "D": D},
+        "depth_exact_match": exact,
+        "depth_maxdiff_px": float(diff.max()),
+        "depth_rmse_px": rmse,
+        "score_maxdiff": float(np.abs(pal_s - ref_s).max()),
+        "kernel_s": round(t_pal, 2),
+        "oracle_s": round(t_ref, 2),
+        "pass": bool(rmse <= 0.5),
+    }
+
+
+def pipeline_ab(S=100, V=64, U=960, D=120):
+    import jax.numpy as jnp
+
+    import oracle
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+
     dmin, dmax = -1.0, 2.0
     vol, gt = oracle.make_synthetic_lf(S=S, V=V, U=U, C=1, n_objects=4,
                                        seed=1, dmin=dmin, dmax=dmax)
-
     results = {}
     times = {}
     for use_pallas in (True, False):
+        # dense XLA passes cost ~0.3 s/row: one pass per dispatch keeps
+        # each launch under the TPU runtime's execution watchdog
         c = Depth2DComputer(jnp.asarray(vol), dmin, dmax, D,
-                            use_pallas=use_pallas, early_stop=False)
+                            use_pallas=use_pallas, early_stop=False,
+                            pass_chunk=8 if use_pallas else 1)
+        print(f"  pipeline use_pallas={use_pallas} ...", flush=True)
         t0 = time.time()
         st = c.run()
         times[use_pallas] = time.time() - t0
@@ -52,39 +128,58 @@ def main():
             np.asarray(c.get_valid_depths_mask_s_v_u()),
             np.asarray(st.claim),
         )
-
     d_p, m_p, cl_p = results[True]
     d_j, m_j, cl_j = results[False]
     both = m_p & m_j
     diff = (d_p - d_j)[both]
     rmse = float(np.sqrt(np.mean(diff ** 2))) if diff.size else 0.0
-    print(f"valid-mask agreement: {(m_p == m_j).mean() * 100:.3f}%")
-    print(f"claim agreement:      {(cl_p == cl_j).mean() * 100:.3f}%")
-    print(f"depth RMSE (valid):   {rmse:.5f} px")
-    print(f"depth max|diff|:      {np.abs(diff).max() if diff.size else 0:.5f}")
-    print(f"pixels differing >1e-3: "
-          f"{(np.abs(d_p - d_j) > 1e-3)[both].mean() * 100:.4f}%")
     s_hat = S // 2
-    gt_rmse_p = np.sqrt(np.mean(
-        (d_p[s_hat] - gt)[m_p[s_hat]] ** 2))
-    print(f"vs ground truth at s_hat (pallas): {gt_rmse_p:.4f} px")
-    summary = {
+    gt_rmse_p = float(np.sqrt(np.mean(
+        (d_p[s_hat] - gt)[m_p[s_hat]] ** 2)))
+    return {
         "shape": {"S": S, "V": V, "U": U, "D": D},
-        "backend": jax.default_backend(),
         "mask_agreement": float((m_p == m_j).mean()),
         "claim_agreement": float((cl_p == cl_j).mean()),
         "depth_rmse_px": rmse,
         "depth_maxdiff_px": float(np.abs(diff).max()) if diff.size else 0.0,
         "frac_gt_1e3": float((np.abs(d_p - d_j) > 1e-3)[both].mean()),
-        "gt_rmse_at_s_hat": float(gt_rmse_p),
+        "gt_rmse_at_s_hat": gt_rmse_p,
         "run_s_pallas": round(times[True], 1),
         "run_s_xla": round(times[False], 1),
         "pass": bool(rmse <= 0.5),
     }
+
+
+def main():
+    import jax
+
+    import prop_kernel_check
+    from remotesensingproject_tpu.utils.profiling import (
+        enable_compilation_cache)
+
+    enable_compilation_cache()
+    summary = {"backend": jax.default_backend()}
+
+    print("1/3 sweep kernel one-pass A/B at production shape", flush=True)
+    summary["sweep_production"] = sweep_one_pass_ab()
+    print(json.dumps(summary["sweep_production"]), flush=True)
+
+    print("2/3 propagation kernel bitwise A/B", flush=True)
+    prop_ok = (prop_kernel_check.check(S=100, V=540, U=960, seed=0)
+               and prop_kernel_check.check(seed=1, slope=0.5))
+    summary["prop_bitwise_ab"] = bool(prop_ok)
+
+    print("3/3 full-pipeline A/B at V=64", flush=True)
+    summary["pipeline_v64"] = pipeline_ab()
+    print(json.dumps(summary["pipeline_v64"]), flush=True)
+
+    summary["pass"] = bool(summary["sweep_production"]["pass"]
+                           and prop_ok
+                           and summary["pipeline_v64"]["pass"])
     with open("ACCEPTANCE_TPU.json", "w") as f:
         json.dump(summary, f, indent=1)
-    assert rmse <= 0.5, "RMSE budget exceeded"
-    print("ACCEPTANCE: PASS (<= 0.5 px)")
+    print(f"ACCEPTANCE: {'PASS' if summary['pass'] else 'FAIL'}")
+    sys.exit(0 if summary["pass"] else 1)
 
 
 if __name__ == "__main__":

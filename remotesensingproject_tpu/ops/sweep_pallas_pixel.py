@@ -54,20 +54,22 @@ from .sweep_pallas import _round_up, gather_window, prepare_padded_epis
 BATCH = 8  # pixels per tile (one 128-lane block each)
 
 
-def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
+def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                   S: int, U: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
                   iters: int, n_grp: int, dmin: float, dmax: float,
                   per_pixel: bool, interpret: bool):
     if per_pixel:
-        (bmin_ref, bmax_ref, epi_hbm_ref, out_hbm_ref,
+        (bmin_hbm, bmax_hbm, epi_hbm_ref, out_hbm_ref,
          epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
-         ga_scr, gb_scr, outb_ref, sem_in, sem_out) = rest
+         ga_scr, gb_scr, outb_ref, ulist_scr, act_scr,
+         bmin_scr, bmax_scr, sem_in, sem_act, sem_out) = rest
     else:
-        bmin_ref = bmax_ref = None
+        bmin_hbm = bmax_hbm = bmin_scr = bmax_scr = None
         (epi_hbm_ref, out_hbm_ref,
          epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
-         ga_scr, gb_scr, outb_ref, sem_in, sem_out) = rest
+         ga_scr, gb_scr, outb_ref, ulist_scr, act_scr,
+         sem_in, sem_act, sem_out) = rest
     i = pl.program_id(0)
     S_tot = S + s_pad
     W = BATCH * 128
@@ -77,8 +79,48 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
 
     @pl.when(n_act > 0)
     def _run():
+        # ALL per-row inputs are DMA'd under the activity gate: an
+        # auto-pipelined SMEM block costs ~0.25 ms per grid step even
+        # when the body is skipped (measured: 540 skipped rows = 138 ms
+        # — the old late-pass floor)
+        cpa = pltpu.make_async_copy(act_ref.at[i], act_scr, sem_act)
+        cpa.start()
         cp = pltpu.make_async_copy(epi_hbm_ref.at[i], epi_vmem, sem_in)
         cp.start()
+        if per_pixel:
+            cb1 = pltpu.make_async_copy(bmin_hbm.at[i], bmin_scr,
+                                        sem_act)
+            cb2 = pltpu.make_async_copy(bmax_hbm.at[i], bmax_scr,
+                                        sem_act)
+            cb1.start()
+            cb2.start()
+        cpa.wait()
+
+        # scalar-core compaction of this row's active u list (replaces
+        # the wrapper's argsort + inverse-permutation gathers — those
+        # cost ~190 ms/call at the bench shape, the entire late-pass
+        # sweep floor).  Runs while the EPI row DMA is in flight.
+        def compact_body(u, cnt):
+            is_a = act_scr[0, u] > 0
+
+            @pl.when(is_a)
+            def _():
+                ulist_scr[0, cnt] = u
+            return cnt + is_a.astype(jnp.int32)
+
+        cnt = jax.lax.fori_loop(0, U, compact_body, jnp.int32(0))
+
+        # dump column for tail-batch slots (Upad > U by construction):
+        # their stores land off-image and are sliced off by the wrapper
+        def dump_body(k, _):
+            ulist_scr[0, k] = jnp.int32(U)
+            return 0
+
+        jax.lax.fori_loop(cnt, ((cnt + BATCH - 1) // BATCH) * BATCH,
+                          dump_body, 0)
+        if per_pixel:
+            cb1.wait()
+            cb2.wait()
         cp.wait()
 
         s_col = jax.lax.broadcasted_iota(jnp.int32, (S_tot, 1), 0)
@@ -127,14 +169,15 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
             # ---- gather 8 pixels' (s, d) radiance samples ----------
             dblk = []
             for p in range(BATCH):
-                u_p = ulist_ref[0, 0, b * BATCH + p]
+                u_r = ulist_scr[0, b * BATCH + p]   # == U on tail slots
+                u_p = jnp.minimum(u_r, U - 1)        # gather safety
                 blk = pl.ds(p * 128, 128)
                 if per_pixel:
                     # the pixel's own candidate grid, with the
                     # reference's float op order (core.hpp:548) and the
                     # interpret-mode barriers of the dense pp kernel
-                    bmin_p = bmin_ref[0, 0, u_p]
-                    rng_p = bmax_ref[0, 0, u_p] - bmin_p
+                    bmin_p = bmin_scr[0, u_p]
+                    rng_p = bmax_scr[0, u_p] - bmin_p
                     if interpret:
                         dnum = jax.lax.optimization_barrier(
                             lane_f * rng_p)
@@ -268,12 +311,15 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, ulist_ref, *rest,
                 ssum = jnp.sum(jnp.where(is_cand[0:1, lo:hi], sc, 0.0))
                 onehot = (lane128 == bidx).astype(DTYPE)
                 dbest = jnp.sum(dblk[p] * onehot)
-                slot = b * BATCH + p
-                outb_ref[0, slot] = best
-                outb_ref[1, slot] = ssum
-                outb_ref[2, slot] = dbest
+                # results land at the TRUE u position (no inverse
+                # permutation outside); tail slots write the dump
+                # column u == U (sliced off by the wrapper)
+                u_w = ulist_scr[0, b * BATCH + p]
+                outb_ref[0, u_w] = best
+                outb_ref[1, u_w] = ssum
+                outb_ref[2, u_w] = dbest
                 for c in range(C):
-                    outb_ref[3 + c, slot] = jnp.sum(
+                    outb_ref[3 + c, u_w] = jnp.sum(
                         rbar_d[c][0:1, lo:hi] * onehot)
             return 0
 
@@ -318,16 +364,18 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     epi_pad, PAD, s_pad = padded
     S_tot = S + s_pad
     U_tot = epi_pad.shape[-1]
-    Upad = _round_up(U, BATCH * 16)  # slot capacity, multiple of BATCH
+    # row capacity: > U so column U can serve as the tail-slot dump
+    Upad = _round_up(U + 1, BATCH * 16)
 
     if active_v_u is None:
         active_v_u = jnp.ones((V, U), bool)
 
-    # active-first permutation per row + counts (host->device compact)
-    order = jnp.argsort(~active_v_u, axis=1, stable=True)  # [V, U]
+    # the kernel compacts each row's active u list on the scalar core
+    # (the old wrapper-side argsort + inverse-permutation gathers cost
+    # ~190 ms/call at the bench shape — the whole late-pass floor)
     n_act = jnp.sum(active_v_u, axis=1).astype(jnp.int32)  # [V]
-    ulist = jnp.pad(order.astype(jnp.int32),
-                    ((0, 0), (0, Upad - U)))[:, None, :]
+    act = jnp.pad(active_v_u.astype(jnp.int32),
+                  ((0, 0), (0, Upad - U)))[:, None, :]
 
     d_idx = jnp.arange(dim_d, dtype=DTYPE)
     rng_ = DTYPE(np.float32(np.float32(dmax) - np.float32(dmin)))
@@ -352,16 +400,14 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 128), lambda i, n: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Upad), lambda i, n: (i, 0, 0),
-                     memory_space=pltpu.SMEM),    # ulist row
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # act rows
     ]
-    operands = [s_hat_arr, dvec, ulist]
+    operands = [s_hat_arr, dvec, act]
     if per_pixel:
         def padb(x):
             return jnp.pad(x.astype(DTYPE),
                            ((0, 0), (0, Upad - U)))[:, None, :]
-        bspec = pl.BlockSpec((1, 1, Upad), lambda i, n: (i, 0, 0),
-                             memory_space=pltpu.SMEM)
+        bspec = pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)
         in_specs += [bspec, bspec]
         operands += [padb(dmin_v_u), padb(dmax_v_u)]
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # epi volume
@@ -379,7 +425,11 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
             pltpu.VMEM((S_tot, W), DTYPE),            # valid
             pltpu.VMEM((C, S_tot, W), DTYPE),         # gather a
             pltpu.VMEM((C, S_tot, W), DTYPE),         # gather b
-            pltpu.SMEM((3 + C, Upad), DTYPE),         # compact out
+            pltpu.SMEM((3 + C, Upad), DTYPE),         # out row (true u)
+            pltpu.SMEM((1, Upad), jnp.int32),         # compacted u list
+            pltpu.SMEM((1, Upad), jnp.int32),         # active-mask row
+        ] + ([pltpu.SMEM((1, Upad), DTYPE)] * 2 if per_pixel else []) + [
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
@@ -392,10 +442,8 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
         interpret=interpret,
     )(n_act, *operands)[0]
 
-    # scatter compact slots back to u positions: pos[v, u] = slot of u
-    pos = jnp.argsort(order, axis=1).astype(jnp.int32)     # inverse perm
     def back(r):
-        return jnp.take_along_axis(out[:, r, :U], pos, axis=1)
+        return out[:, r, :U]
 
     return SweepResult(
         best_score=back(0),

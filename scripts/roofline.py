@@ -78,10 +78,13 @@ rng = np.random.default_rng(0)
 for frac, tag in ((0.9, "dense"), (0.05, "sparse")):
     active = jnp.asarray(rng.random((V, U)) < frac)
     n_act = int(jnp.sum(active))
-    fn = jax.jit(lambda a: sweep_pile_pallas_pixel(
-        epis, dmin, dmax, D, S // 2, params, active_v_u=a,
-        padded=padded))
-    dt = timeit(fn, active)
+    pad_f, s_pad = int(padded[1]), int(padded[2])
+    # big arrays must be jit ARGUMENTS (captured device constants blow
+    # up the axon compile payload)
+    fn = jax.jit(lambda e, a, ep: sweep_pile_pallas_pixel(
+        e, dmin, dmax, D, S // 2, params, active_v_u=a,
+        padded=(ep, pad_f, s_pad)))
+    dt = timeit(fn, epis, active, padded[0])
     # per active pixel: D lanes x S_tot rows x (gather ~6 + mean-shift
     # iters x 9 + score 3) elem-ops; iters measured separately via the
     # ms_iter=1 delta (bench_pass.py) ~ 6 effective at this scene
@@ -110,11 +113,12 @@ for frac, tag in ((0.5, "dense"), (0.02, "sparse")):
     claim = jnp.asarray(rng.random((S, V, U)) < 0.5)
     tgt = jnp.zeros((S, V, U), jnp.float32)
     pay = ((tgt, depth_f), (tgt, depth_f))
-    fn = jax.jit(lambda c, m: propagate_pallas(
-        c, frames, depth_f, rbar, m, s_hat, (dmin, dmax),
-        params.slope_factor, params.propagation_epsilon, pay))
+    fn = jax.jit(lambda c, m, fr, df, rb, t: propagate_pallas(
+        c, fr, df, rb, m, s_hat, (dmin, dmax),
+        params.slope_factor, params.propagation_epsilon,
+        ((t, df), (t, df))))
     smj = jnp.asarray(sm)
-    dt = timeit(fn, claim, smj)
+    dt = timeit(fn, claim, smj, frames, depth_f, rbar, tgt)
     # executed o-steps (upper bound: full per-tile ranges), ~13 elem-ops
     # per [Vt, U9] plane element per step
     offs = np.asarray(depth_f) * params.slope_factor

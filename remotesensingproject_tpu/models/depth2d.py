@@ -393,11 +393,38 @@ class Depth2DComputer:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         # Per-pixel disparity bounds, editable by the pyramid
-        # (rslf_depth_computation.hpp:196-215).
-        self.dmin_s_v_u = jnp.full((S, V, U), self.dmin, DTYPE)
-        self.dmax_s_v_u = jnp.full((S, V, U), self.dmax, DTYPE)
+        # (rslf_depth_computation.hpp:196-215).  Materialized LAZILY:
+        # at uniform-bounds levels the Pallas path never reads them, and
+        # eagerly allocating [S, V, U] x2 per pyramid level costs ~1 GB
+        # of HBM residency at the RGB MansionLR shape (OOM).
+        self._dmin_arr: Optional[jnp.ndarray] = None
+        self._dmax_arr: Optional[jnp.ndarray] = None
         self._bounds_edited = False
         self.state: Optional[Depth2DState] = None
+
+    @property
+    def dmin_s_v_u(self):
+        if self._dmin_arr is None:
+            S, V, U = (self.epis.shape[1], self.epis.shape[0],
+                       self.epis.shape[2])
+            self._dmin_arr = jnp.full((S, V, U), self.dmin, DTYPE)
+        return self._dmin_arr
+
+    @dmin_s_v_u.setter
+    def dmin_s_v_u(self, value):
+        self._dmin_arr = value
+
+    @property
+    def dmax_s_v_u(self):
+        if self._dmax_arr is None:
+            S, V, U = (self.epis.shape[1], self.epis.shape[0],
+                       self.epis.shape[2])
+            self._dmax_arr = jnp.full((S, V, U), self.dmax, DTYPE)
+        return self._dmax_arr
+
+    @dmax_s_v_u.setter
+    def dmax_s_v_u(self, value):
+        self._dmax_arr = value
 
     # -- pyramid hooks (rslf_depth_computation.hpp:196-215) -------------
 
@@ -419,11 +446,15 @@ class Depth2DComputer:
         ce = jnp.transpose(ce_vsu, (1, 0, 2))
         ce_mask = jnp.transpose(mask_vsu, (1, 0, 2))
 
+        # line_conf is only read/written under score_version == "line";
+        # a broadcastable dummy saves an [S, V, U] plane of residency
+        lc_shape = (S, V, U) if self.params.score_version == "line" \
+            else (1, 1, 1)
         state = Depth2DState(
             ce=ce,
             ce_mask=ce_mask,
             disp_conf=jnp.zeros((S, V, U), DTYPE),
-            line_conf=jnp.zeros((S, V, U), DTYPE),
+            line_conf=jnp.zeros(lc_shape, DTYPE),
             best_depth=jnp.zeros((S, V, U), DTYPE),
             rbar=jnp.zeros((S, V, U, C), DTYPE),
             claim=ce_mask.copy(),  # distinct buffer (donation-safe)
@@ -456,6 +487,16 @@ class Depth2DComputer:
         # execution watchdog at production shapes ("TPU worker process
         # crashed"), wedging the chip — the r1 bench crash root cause.
         fwd = _get_schedule_fwd(self.early_stop, **kw)
+        # uniform-bounds Pallas levels never read the per-pixel bound
+        # arrays: broadcastable dummies avoid 2 x [S, V, U] of HBM
+        # (plane() clamps its dynamic index, and every consumer of
+        # dmin_v_u is on the bounds-edited or jnp path)
+        if use_pallas_path and not self._bounds_edited:
+            dmin_arr = jnp.full((1, 1, 1), self.dmin, DTYPE)
+            dmax_arr = jnp.full((1, 1, 1), self.dmax, DTYPE)
+        else:
+            dmin_arr = self.dmin_s_v_u
+            dmax_arr = self.dmax_s_v_u
         chunk = self.pass_chunk
         done = 0
         t_chunk = _time.time()
@@ -468,7 +509,7 @@ class Depth2DComputer:
             done += n_valid
             part = part + [0] * (chunk - n_valid)
             state, _n_done, remaining = fwd(
-                self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
+                self.epis, frames, dmin_arr, dmax_arr,
                 epis_padded, state, jnp.asarray(part, jnp.int32),
                 jnp.int32(n_valid))
             remaining = int(remaining)  # host sync paces the dispatches

@@ -238,5 +238,9 @@ def fuse_disp_maps(disp_pyr: List[jnp.ndarray],
         fine_mask = validity_pyr[p - 1]
         map_down = jnp.where(fine_mask, fine, map_up)
         mask_down = fine_mask | mask_up
-    fused = jax.vmap(lambda m: median_blur(m, final_median_size))(map_down)
+    # lax.map (not vmap): a vmapped 9-tap sort materializes an
+    # [S, 9, V, U] operand (~3 GB at the RGB MansionLR shape) — the
+    # sequential map keeps the peak at one frame's window stack
+    fused = jax.lax.map(lambda m: median_blur(m, final_median_size),
+                        map_down)
     return fused, mask_down

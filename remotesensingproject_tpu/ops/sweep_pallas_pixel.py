@@ -425,7 +425,10 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
             pltpu.VMEM((S_tot, W), DTYPE),            # valid
             pltpu.VMEM((C, S_tot, W), DTYPE),         # gather a
             pltpu.VMEM((C, S_tot, W), DTYPE),         # gather b
-            pltpu.SMEM((3 + C, Upad), DTYPE),         # out row (true u)
+            # field axis padded to the sublane tiling: a (6, Upad)
+            # DMA slice of the C=3 output trips Mosaic's "slice must be
+            # aligned to tiling (8)" check (4 divides 8, 6 does not)
+            pltpu.SMEM((_round_up(3 + C, 4), Upad), DTYPE),  # out row
             pltpu.SMEM((1, Upad), jnp.int32),         # compacted u list
             pltpu.SMEM((1, Upad), jnp.int32),         # active-mask row
         ] + ([pltpu.SMEM((1, Upad), DTYPE)] * 2 if per_pixel else []) + [
@@ -438,7 +441,8 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((V, 3 + C, Upad), DTYPE)],
+        out_shape=[jax.ShapeDtypeStruct((V, _round_up(3 + C, 4), Upad),
+                                        DTYPE)],
         interpret=interpret,
     )(n_act, *operands)[0]
 

@@ -50,8 +50,11 @@ frames = jnp.transpose(epis, (1, 0, 2, 3))
 
 
 def sync(x):
-    for leaf in jax.tree_util.tree_leaves(x):
-        np.asarray(jax.device_get(leaf.ravel()[-1:]))
+    # ONE leaf only: every extra device_get is a ~25 ms axon tunnel
+    # round trip that pollutes the timing (all outputs of a single
+    # executable complete together)
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(jax.device_get(leaf.ravel()[-1:]))
 
 
 def timeit(fn, *args, n=3):

@@ -20,6 +20,16 @@ def save_level(path_dir: str, level: int, computer) -> str:
     os.makedirs(path_dir, exist_ok=True)
     st = computer.state
     path = os.path.join(path_dir, f"level_{level:02d}.npz")
+    # uniform-bounds levels keep their bound arrays LAZY (never
+    # materialized on device); serialize the scalars instead of eagerly
+    # allocating 2 x [S, V, U] — at the RGB MansionLR shape that
+    # materialization is exactly the OOM the lazy arrays avoid
+    if computer._bounds_edited:
+        bounds = dict(dmin=np.asarray(computer.dmin_s_v_u),
+                      dmax=np.asarray(computer.dmax_s_v_u))
+    else:
+        bounds = dict(dmin_scalar=np.float32(computer.dmin),
+                      dmax_scalar=np.float32(computer.dmax))
     np.savez_compressed(
         path,
         ce=np.asarray(st.ce),
@@ -29,9 +39,8 @@ def save_level(path_dir: str, level: int, computer) -> str:
         best_depth=np.asarray(st.best_depth),
         rbar=np.asarray(st.rbar),
         claim=np.asarray(st.claim),
-        dmin=np.asarray(computer.dmin_s_v_u),
-        dmax=np.asarray(computer.dmax_s_v_u),
         accept_all=np.asarray(computer.accept_all),
+        **bounds,
     )
     return path
 
@@ -58,8 +67,12 @@ def load_level(path_dir: str, level: int, computer) -> bool:
         rbar=jnp.asarray(z["rbar"]),
         claim=jnp.asarray(z["claim"]),
     )
-    computer.dmin_s_v_u = jnp.asarray(z["dmin"])
-    computer.dmax_s_v_u = jnp.asarray(z["dmax"])
+    if "dmin" in z.files:
+        computer.set_bounds(jnp.asarray(z["dmin"]), jnp.asarray(z["dmax"]))
+    else:
+        # uniform-bounds level: keep the arrays lazy (ctor scalars)
+        computer.dmin = float(z["dmin_scalar"])
+        computer.dmax = float(z["dmax_scalar"])
     computer.accept_all = bool(z["accept_all"])
     return True
 
@@ -77,6 +90,8 @@ def run_with_checkpoints(ftc, ckpt_dir: Optional[str]):
 
     from ..ops.pyramid import bounds_from_parent
 
+    import jax.numpy as jnp
+
     bounds_fn = jax.jit(bounds_from_parent)
     for p, computer in enumerate(ftc.computers):
         if not load_level(ckpt_dir, p, computer):
@@ -89,3 +104,8 @@ def run_with_checkpoints(ftc, ckpt_dir: Optional[str]):
                 computer.get_valid_depths_mask_s_v_u(),
                 nxt.dmin_s_v_u, nxt.dmax_s_v_u)
             nxt.set_bounds(dmin_new, dmax_new)
+        # r_bar is only read while the level's own passes paint; drop it
+        # to free [S, V, U, C] of HBM per level (mirrors
+        # FineToCoarse.run — ~1.3 GB across the RGB MansionLR pyramid)
+        computer.state = computer.state._replace(
+            rbar=jnp.zeros((1, 1, 1, 1), computer.state.rbar.dtype))

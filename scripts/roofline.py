@@ -127,12 +127,19 @@ for frac, tag in ((0.5, "dense"), (0.02, "sparse")):
     offs = np.asarray(depth_f) * params.slope_factor
     offs_m = np.where(sm, offs, np.nan)
     Vt = 128
-    n_vt = -(-((-(-V // 32)) * 32) // Vt)
+    V8 = (-(-V // 32)) * 32
+    n_vt = -(-V8 // Vt)
     U9 = -(-U // 128) * 128
+    # the kernel tiles the 32-PADDED grid (v0 = min(t*Vt, V8 - Vt), with
+    # source-free padding rows), so the model must tile identically or
+    # its per-tile offset extremes / o-step count diverge from what
+    # actually executes (round-3 advisor)
+    offs_pad = np.full((V8, U), np.nan, np.float32)
+    offs_pad[:V] = offs_m
     steps = 0
     for t in range(n_vt):
-        v0 = min(t * Vt, V - Vt)
-        o = offs_m[v0:v0 + Vt]
+        v0 = min(t * Vt, V8 - Vt)
+        o = offs_pad[v0:v0 + Vt]
         if np.isnan(o).all():
             continue
         mn, mx = np.nanmin(o), np.nanmax(o)

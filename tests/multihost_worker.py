@@ -70,23 +70,31 @@ ce_vsu, mask_vsu = jax.jit(edge_confidence_volume, static_argnums=1)(
 ce = jnp.transpose(ce_vsu, (1, 0, 2))
 ce_mask = jnp.transpose(mask_vsu, (1, 0, 2))
 
-claim = ce_mask.copy()
-best_depth = jnp.zeros_like(ce)
-disp_conf = jnp.zeros_like(ce)
-rbar = jnp.zeros(ce.shape + (C,), jnp.float32)
-dmin_vu = jnp.full((V, U), np.float32(dmin))
-dmax_vu = jnp.full((V, U), np.float32(dmax))
+from remotesensingproject_tpu.models.depth2d import (  # noqa: E402
+    Depth2DState)
+
+state = Depth2DState(
+    ce=ce, ce_mask=ce_mask,
+    disp_conf=jnp.zeros_like(ce),
+    line_conf=jnp.zeros_like(ce),
+    best_depth=jnp.zeros_like(ce),
+    rbar=jnp.zeros(ce.shape + (C,), jnp.float32),
+    claim=ce_mask.copy())
+sharding_sv = ce.sharding
+dmin_svu = jax.device_put(jnp.full((S, V, U), np.float32(dmin)),
+                          sharding_sv)
+dmax_svu = jax.device_put(jnp.full((S, V, U), np.float32(dmax)),
+                          sharding_sv)
 
 pass_fn = sharded_pass(mesh, dim_d, params, (dmin, dmax),
                        use_pallas=False)
-(ce_new, mask_new, claim, best_depth, disp_conf, rbar,
- remaining) = pass_fn(epis, frames, dmin_vu, dmax_vu, ce[s_hat],
-                      ce_mask[s_hat], claim, best_depth, disp_conf,
-                      rbar, jnp.int32(s_hat))
+got, remaining = pass_fn(epis, frames, dmin_svu, dmax_svu,
+                         jnp.zeros((1,), jnp.float32), state,
+                         jnp.int32(s_hat))
 
-got_depth = multihost_utils.process_allgather(best_depth,
+got_depth = multihost_utils.process_allgather(got.best_depth,
                                               tiled=True)
-got_claim = multihost_utils.process_allgather(claim, tiled=True)
+got_claim = multihost_utils.process_allgather(got.claim, tiled=True)
 rem = int(remaining)
 
 # single-device reference: the same pass on the full volume, unsharded
@@ -115,8 +123,8 @@ with jax.default_device(jax.local_devices()[0]):
                      uniform_bounds=True)
     want_depth = np.asarray(state.best_depth)
     want_claim = np.asarray(state.claim)
-    want_rem = int(np.sum(np.asarray(state.ce_mask)[s_hat]
-                          & want_claim[s_hat]))
+    # full-volume remaining count (the schedule's early-stop metric)
+    want_rem = int(np.sum(np.asarray(state.ce_mask) & want_claim))
 
 assert np.array_equal(np.asarray(got_depth), want_depth), \
     "sharded multihost depth != single-device depth"

@@ -51,33 +51,37 @@ def test_sharded_pass_matches_single_device():
               jnp.full((S, V, U), dmax, jnp.float32),
               jnp.zeros((1,), jnp.float32), state, jnp.int32(s_hat))
 
-    # --- sharded pass on the 8-device mesh
+    # --- sharded pass on the 8-device mesh (the SAME _pass_fn under
+    # shard_map — one pass implementation, round-3 verdict #6)
     mesh = make_mesh()
     epis_sh = shard_volume(epis, mesh)
     frames_sh = shard_planes(frames, mesh)
+    state_sh = Depth2DState(
+        ce=shard_planes(ce, mesh),
+        ce_mask=shard_planes(mask, mesh),
+        disp_conf=shard_planes(jnp.zeros((S, V, U)), mesh),
+        line_conf=shard_planes(jnp.zeros((S, V, U)), mesh),
+        best_depth=shard_planes(jnp.zeros((S, V, U)), mesh),
+        rbar=shard_planes(jnp.zeros((S, V, U, C)), mesh),
+        claim=shard_planes(mask.copy(), mesh))
     pass_fn = sharded_pass(mesh, dim_d, params, (dmin, dmax))
-    (ce_new, mask_new, claim, best_depth, disp_conf, rbar,
-     remaining) = pass_fn(
+    got, remaining = pass_fn(
         epis_sh, frames_sh,
-        jnp.full((V, U), dmin, jnp.float32),
-        jnp.full((V, U), dmax, jnp.float32),
-        ce[s_hat], mask[s_hat], shard_planes(mask.copy(), mesh),
-        shard_planes(jnp.zeros((S, V, U)), mesh),
-        shard_planes(jnp.zeros((S, V, U)), mesh),
-        shard_planes(jnp.zeros((S, V, U, C)), mesh),
-        jnp.int32(s_hat))
+        shard_planes(jnp.full((S, V, U), dmin, jnp.float32), mesh),
+        shard_planes(jnp.full((S, V, U), dmax, jnp.float32), mesh),
+        jnp.zeros((1,), jnp.float32), state_sh, jnp.int32(s_hat))
 
-    assert np.allclose(np.asarray(ce_new),
-                       np.asarray(ref.ce)[s_hat], atol=1e-6)
-    assert (np.asarray(mask_new) == np.asarray(ref.ce_mask)[s_hat]).all()
-    assert (np.asarray(claim) == np.asarray(ref.claim)).all()
-    assert np.allclose(np.asarray(best_depth),
+    assert np.allclose(np.asarray(got.ce), np.asarray(ref.ce), atol=1e-6)
+    assert (np.asarray(got.ce_mask) == np.asarray(ref.ce_mask)).all()
+    assert (np.asarray(got.claim) == np.asarray(ref.claim)).all()
+    assert np.allclose(np.asarray(got.best_depth),
                        np.asarray(ref.best_depth), atol=1e-6)
-    assert np.allclose(np.asarray(disp_conf),
+    assert np.allclose(np.asarray(got.disp_conf),
                        np.asarray(ref.disp_conf), atol=1e-5)
-    assert np.allclose(np.asarray(rbar), np.asarray(ref.rbar), atol=1e-6)
+    assert np.allclose(np.asarray(got.rbar), np.asarray(ref.rbar),
+                       atol=1e-6)
     assert int(remaining) == int(jnp.sum(
-        (ref.ce_mask & ref.claim)[s_hat].astype(jnp.int32)))
+        (ref.ce_mask & ref.claim).astype(jnp.int32)))
 
 
 def test_sharded_driver_matches_single_device():
@@ -129,6 +133,30 @@ def test_sharded_driver_score_versions(version):
                            np.asarray(ss.line_conf), atol=1e-5)
     assert (np.asarray(sharded.get_valid_depths_mask_s_v_u())
             == np.asarray(single.get_valid_depths_mask_s_v_u())).all()
+
+
+def test_sharded_driver_pallas_interpret_matches_single():
+    """The Pallas engines (pixel sweep + line-paint propagation) run in
+    interpret mode under shard_map and match the single-device Pallas
+    driver exactly (round-3 verdict #6: the sharded path must cover the
+    Pallas-propagation route, not only the XLA fallback)."""
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+    from remotesensingproject_tpu.parallel.driver import (
+        ShardedDepth2DComputer)
+
+    vol, _ = oracle.make_synthetic_lf(S=6, V=16, U=24, C=1, n_objects=3,
+                                      seed=21, dmin=-1.0, dmax=1.5)
+    single = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                             use_pallas=True, early_stop=False)
+    ss = single.run()
+    sharded = ShardedDepth2DComputer(jnp.asarray(vol), -1.0, 1.5, 5,
+                                     use_pallas=True, early_stop=False)
+    sh = sharded.run()
+    assert np.array_equal(np.asarray(sh.best_depth),
+                          np.asarray(ss.best_depth))
+    assert (np.asarray(sh.claim) == np.asarray(ss.claim)).all()
+    assert np.array_equal(np.asarray(sh.disp_conf),
+                          np.asarray(ss.disp_conf))
 
 
 def test_sharded_fine_to_coarse_matches_single():

@@ -192,8 +192,12 @@ def main():
     from remotesensingproject_tpu.utils.profiling import (
         enable_compilation_cache)
 
-    cache_dir = enable_compilation_cache()
-    print(f"# compilation cache: {cache_dir}", file=sys.stderr)
+    if os.environ.get("BENCH_NO_CACHE") == "1":
+        cache_dir = None
+        print("# compilation cache: DISABLED", file=sys.stderr)
+    else:
+        cache_dir = enable_compilation_cache()
+        print(f"# compilation cache: {cache_dir}", file=sys.stderr)
 
     small = os.environ.get("BENCH_SMALL") == "1"
     rgb = os.environ.get("BENCH_RGB") == "1"

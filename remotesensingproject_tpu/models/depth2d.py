@@ -91,19 +91,135 @@ def _line_confidence(ce_s_v_u, best_depth_v_u, k_best_v_s_u, mask_v_u,
     return jnp.where(mask_v_u, num / den, 0.0)
 
 
+def _sweep_slabbed(run_sweep, epis, active, padded, dmin_v_u, dmax_v_u,
+                   n_slabs: int):
+    """Run the (per-v independent) sweep as a scan over v-slabs.
+
+    The axon/v5e platform defers the real backend compile of a
+    dispatched program to its FIRST execution, and that one-time cost
+    explodes super-linearly with the kernel plane sizes: measured, a
+    540x960 pass program pays 200-320 s while the structurally
+    identical 270x480 one pays ~4 s.  Slab-sizing every kernel bounds
+    the whole pipeline to the cheap regime; the extra HBM slice traffic
+    is ~1 ms/pass.  The last slab is position-clamped (ik = V - Vs) so
+    all slices are static-shaped; its overlap rows recompute
+    bit-identical values (per-v independence), exactly like the
+    propagation kernel's final v-tile.
+    """
+    V, S, U, C = epis.shape
+    Vs = -(-V // n_slabs)
+    ep, pad_f, s_pad = padded
+
+    def body(carry, k):
+        bs, sm_, bd, rb = carry
+        ik = jnp.minimum(k * Vs, V - Vs)
+
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, ik, Vs, 0)
+
+        res = run_sweep(sl(epis), sl(active), (sl(ep), pad_f, s_pad),
+                        None if dmin_v_u is None else sl(dmin_v_u),
+                        None if dmax_v_u is None else sl(dmax_v_u))
+
+        def upd(full, part):
+            return jax.lax.dynamic_update_slice_in_dim(full, part, ik, 0)
+
+        return (upd(bs, res.best_score), upd(sm_, res.score_mean),
+                upd(bd, res.best_depth), upd(rb, res.rbar)), 0
+
+    z = jnp.zeros((V, U), DTYPE)
+    init = (z, z, z, jnp.zeros((V, U, C), DTYPE))
+    (bs, sm_, bd, rb), _ = jax.lax.scan(
+        body, init, jnp.arange(n_slabs, dtype=jnp.int32))
+    from ..ops.sweep import SweepResult
+    return SweepResult(best_score=bs, score_mean=sm_, best_depth=bd,
+                       rbar=rb, k_best=jnp.zeros((V, S, U), DTYPE))
+
+
+def _median_slabbed(src, frame, mask, size: int, epsilon: float,
+                    n_slabs: int):
+    """selective_median as a scan over v-slabs with an H-row halo.
+
+    Interior rows of each window see their full (v, u) neighborhood;
+    windows clamp at the image edges where the plain median's zero-pad
+    semantics apply identically — bit-equal to the unslabbed filter.
+    """
+    V, U = src.shape
+    h = (size - 1) // 2
+    Vs = -(-V // n_slabs)
+    W = min(V, Vs + 2 * h)
+
+    def body(out, k):
+        ik = jnp.minimum(k * Vs, V - Vs)
+        wk = jnp.clip(ik - h, 0, V - W)
+
+        def slw(x):
+            return jax.lax.dynamic_slice_in_dim(x, wk, W, 0)
+
+        med_w = selective_median(slw(src), slw(frame), slw(mask), size,
+                                 epsilon)
+        part = jax.lax.dynamic_slice_in_dim(med_w, ik - wk, Vs, 0)
+        return jax.lax.dynamic_update_slice_in_dim(out, part, ik, 0), 0
+
+    out, _ = jax.lax.scan(body, jnp.zeros((V, U), DTYPE),
+                          jnp.arange(n_slabs, dtype=jnp.int32))
+    return out
+
+
+def _prop_slabbed(prop_fn, claim, frames, filtered, rbar, source_mask,
+                  srcs, tgts, n_slabs: int):
+    """Propagation as a scan over v-slabs (per-v independent, no halo).
+
+    ``prop_fn(claim_slab, frames_slab, filtered_slab, rbar_slab,
+    sm_slab, payloads_slab)`` runs the line-paint kernel on [S, Vs, U]
+    blocks; claim and payload targets are carried and stitched with
+    dynamic_update_slice.
+    """
+    S, V, U = claim.shape
+    Vs = -(-V // n_slabs)
+
+    def body(carry, k):
+        claim_c, tg = carry
+        ik = jnp.minimum(k * Vs, V - Vs)
+
+        def s1(x):
+            return jax.lax.dynamic_slice_in_dim(x, ik, Vs, 1)
+
+        def s0(x):
+            return jax.lax.dynamic_slice_in_dim(x, ik, Vs, 0)
+
+        pay = tuple((s1(t), s0(s)) for t, s in zip(tg, srcs))
+        cl_o, tg_o = prop_fn(s1(claim_c), s1(frames), s0(filtered),
+                             s0(rbar), s0(source_mask), pay)
+        claim_c = jax.lax.dynamic_update_slice_in_dim(claim_c, cl_o,
+                                                      ik, 1)
+        tg = tuple(jax.lax.dynamic_update_slice_in_dim(t, o, ik, 1)
+                   for t, o in zip(tg, tg_o))
+        return (claim_c, tg), 0
+
+    (claim_c, tg), _ = jax.lax.scan(
+        body, (claim, tuple(tgts)), jnp.arange(n_slabs, dtype=jnp.int32))
+    return claim_c, tg
+
+
 def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
              state: Depth2DState,
              s_hat, *, dim_d: int, params: DepthParams,
              d_bounds: Tuple[float, float], use_pallas: bool,
              uniform_bounds: bool, pad_static=None,
              coarse_mode: str = "tile",
-             median_fn=None) -> Depth2DState:
+             median_fn=None, v_slabs: int = 1) -> Depth2DState:
     """One center-outward pass (sweep + median + propagation), jittable.
 
     ``median_fn`` (same signature as ops.median.selective_median)
     overrides the selective median — the sharded driver passes the
     ppermute-halo variant; everything else in the pass is per-v local
     and runs unchanged inside shard_map.
+
+    ``v_slabs`` > 1 runs the sweep / median / propagation stages as
+    scans over v-slabs so every compiled kernel is slab-sized (see
+    _sweep_slabbed) — only supported on the pixel-kernel route (the
+    driver enables it there).
     """
     V, S, U, C = epis.shape
     s_hat = jnp.asarray(s_hat, jnp.int32)
@@ -141,11 +257,22 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         # levels pass the per-pixel grids — the reference's EXACT
         # semantics (no tile quantization).
         from ..ops.sweep_pallas_pixel import sweep_pile_pallas_pixel
-        res = sweep_pile_pallas_pixel(
-            epis, d_bounds[0], d_bounds[1], dim_d, s_hat, params,
-            active_v_u=active, padded=padded, interpret=interp,
-            dmin_v_u=None if uniform_bounds else dmin_v_u,
-            dmax_v_u=None if uniform_bounds else dmax_v_u)
+
+        def run_sweep(ep_s, act_s, pad_s, dmin_s, dmax_s):
+            return sweep_pile_pallas_pixel(
+                ep_s, d_bounds[0], d_bounds[1], dim_d, s_hat, params,
+                active_v_u=act_s, padded=pad_s, interpret=interp,
+                dmin_v_u=dmin_s, dmax_v_u=dmax_s)
+
+        if v_slabs > 1:
+            res = _sweep_slabbed(
+                run_sweep, epis, active, padded,
+                None if uniform_bounds else dmin_v_u,
+                None if uniform_bounds else dmax_v_u, v_slabs)
+        else:
+            res = run_sweep(epis, active, padded,
+                            None if uniform_bounds else dmin_v_u,
+                            None if uniform_bounds else dmax_v_u)
     elif use_pallas and uniform_bounds and params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
         n_tiles = -(-U // 128)
@@ -234,10 +361,15 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     # Selective median on the (possibly propagation-painted) s_hat plane,
     # gated by the post-sweep edge mask (core.hpp:877-892).  The filtered
     # values drive propagation but do NOT replace the stored plane.
-    med = median_fn if median_fn is not None else selective_median
-    filtered = med(depth_new, frame, mask_new,
-                   params.median_filter_size,
-                   params.median_filter_epsilon)
+    if v_slabs > 1 and median_fn is None:
+        filtered = _median_slabbed(depth_new, frame, mask_new,
+                                   params.median_filter_size,
+                                   params.median_filter_epsilon, v_slabs)
+    else:
+        med = median_fn if median_fn is not None else selective_median
+        filtered = med(depth_new, frame, mask_new,
+                       params.median_filter_size,
+                       params.median_filter_epsilon)
 
     payloads = [(st.best_depth, filtered), (st.disp_conf, conf_new)]
     if params.score_version == "line":
@@ -267,10 +399,22 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         # values (uniform AND bounds-edited levels), bit-identical to
         # the XLA path (tests/test_propagation_pallas.py)
         from ..ops.propagation_pallas import propagate_pallas
-        claim_out, targets_out = propagate_pallas(
-            st.claim, frames, filtered, rbar_new, source_mask, s_hat,
-            d_bounds, params.slope_factor, params.propagation_epsilon,
-            payloads, interpret=interp)
+        if v_slabs > 1:
+            def prop_fn(cl, fr, fi, rb, sm_, pay):
+                return propagate_pallas(
+                    cl, fr, fi, rb, sm_, s_hat, d_bounds,
+                    params.slope_factor, params.propagation_epsilon,
+                    pay, interpret=interp)
+
+            claim_out, targets_out = _prop_slabbed(
+                prop_fn, st.claim, frames, filtered, rbar_new,
+                source_mask, [s for _, s in payloads],
+                [t for t, _ in payloads], v_slabs)
+        else:
+            claim_out, targets_out = propagate_pallas(
+                st.claim, frames, filtered, rbar_new, source_mask,
+                s_hat, d_bounds, params.slope_factor,
+                params.propagation_epsilon, payloads, interpret=interp)
     else:
         claim_out, targets_out = propagate(
             st.claim, frames, filtered, rbar_new, source_mask, s_hat,
@@ -289,49 +433,41 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
 
 
 def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
-                 state: Depth2DState, s_hats, n_valid=None, *,
-                 early_stop: bool, axis_name=None, **kw):
-    """Run the ENTIRE center-outward schedule in one device call.
+                 state: Depth2DState, s_hats, *, axis_name=None, **kw):
+    """Run a STATIC chunk of center-outward passes in one device call.
 
-    A lax.while_loop over the pass index with the early-stop condition
-    evaluated on device: one dispatch and one host sync for the whole
-    level (vs one per pass chunk), which matters both over a remote
-    device tunnel and for wall-clock at the cheap coarse levels.  A pass
-    on a zero-remaining state is an exact no-op (the sweep merge, the
-    confidence zeroing and the propagation writes are all gated on
-    still-unclaimed active pixels), so stopping at the first
-    remaining==0 is bit-identical to the chunked driver.
+    A lax.scan over the pass index: one dispatch and one host sync per
+    chunk (vs one per pass), which matters over a remote device tunnel.
+    Early stopping is the HOST driver's job, between chunks — measured
+    on the v5e (axon tunnel): wrapping this Mosaic-heavy body in
+    data-dependent control flow (a lax.while_loop with a
+    remaining!=0 cond, or a lax.cond-gated scan body) triggers a
+    pathological 280-440 s one-time deferred compile at first execution
+    of the dispatched program, dwarfing everything else in a cold run;
+    the identical body under a static-trip-count scan compiles in
+    seconds.  The cost of host-side stopping is at most chunk-1 no-op
+    passes per level: a pass on a zero-remaining state is an exact
+    no-op (the sweep merge, the confidence zeroing and the propagation
+    writes are all gated on still-unclaimed active pixels), so the
+    results are bit-identical to per-pass stopping.
 
-    ``n_valid`` (traced int32, default: all of ``s_hats``) bounds the
-    passes actually executed — the chunked driver pads the tail chunk
-    to the fixed ``pass_chunk`` length and trims here, so every chunk
-    dispatch reuses ONE compiled executable (r2's variable-length tail
-    cost one extra XLA+Mosaic compile per pyramid level).
+    The tail chunk (len < pass_chunk) traces/compiles a second, shorter
+    executable under the same jit wrapper (shape-keyed), so ALL full
+    chunks still share one compiled program.
 
     With ``axis_name`` the remaining count is psum'd across the mesh
-    (the sharded driver runs this whole schedule inside shard_map).
+    (the sharded driver runs its chunks inside shard_map).
     """
-    n = s_hats.shape[0] if n_valid is None else jnp.asarray(
-        n_valid, jnp.int32)
-
-    def cond(carry):
-        i, _st, remaining = carry
-        if early_stop:
-            return jnp.logical_and(i < n, remaining != 0)
-        return i < n
-
-    def body(carry):
-        i, st, _ = carry
+    def body(st, s_hat):
         st = _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u,
-                      epis_padded, st, s_hats[i], **kw)
-        remaining = jnp.sum((st.ce_mask & st.claim).astype(jnp.int32))
-        if axis_name is not None:
-            remaining = jax.lax.psum(remaining, axis_name)
-        return i + 1, st, remaining
+                      epis_padded, st, s_hat, **kw)
+        return st, 0
 
-    n_done, state, remaining = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), state, jnp.int32(-1)))
-    return state, n_done, remaining
+    state, _ = jax.lax.scan(body, state, s_hats)
+    remaining = jnp.sum((state.ce_mask & state.claim).astype(jnp.int32))
+    if axis_name is not None:
+        remaining = jax.lax.psum(remaining, axis_name)
+    return state, jnp.int32(s_hats.shape[0]), remaining
 
 
 # Jitted-callable caches shared across Depth2DComputer instances: a
@@ -344,13 +480,12 @@ _SCHEDULE_FWD_CACHE: dict = {}
 _EDGE_JIT = None
 
 
-def _get_schedule_fwd(early_stop: bool, **kw):
-    key = (early_stop,) + tuple(sorted(kw.items()))
+def _get_schedule_fwd(**kw):
+    key = tuple(sorted(kw.items()))
     fn = _SCHEDULE_FWD_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(
-            functools.partial(_schedule_fn, early_stop=early_stop, **kw),
-            donate_argnums=(5,))
+        fn = jax.jit(functools.partial(_schedule_fn, **kw),
+                     donate_argnums=(5,))
         _SCHEDULE_FWD_CACHE[key] = fn
     return fn
 
@@ -372,7 +507,8 @@ class Depth2DComputer:
                  use_pallas: Optional[bool] = None,
                  early_stop: bool = True,
                  pass_chunk: int = 8,
-                 coarse_mode: str = "tile"):
+                 coarse_mode: str = "tile",
+                 v_slabs: Optional[int] = None):
         epis = jnp.asarray(epis_v_s_u_c)
         if epis.ndim == 3:
             epis = epis[..., None]
@@ -388,6 +524,8 @@ class Depth2DComputer:
         # "tile": tile-quantized candidate grids at bounds-edited levels
         # (fast TPU path); "pixel": the reference's exact per-pixel grids
         self.coarse_mode = coarse_mode
+        # None = auto (see run()); 1 disables v-slabbing
+        self.v_slabs = v_slabs
         self.accept_all = False
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -471,22 +609,39 @@ class Depth2DComputer:
         else:
             epis_padded = jnp.zeros((1,), DTYPE)
             pad_static = None
+        # v-slabbing: bound the compiled kernel plane sizes on the
+        # pixel-kernel route (see _sweep_slabbed — the platform's
+        # deferred first-execution compile explodes super-linearly
+        # with plane size; ~135x960 slabs stay in the ~4 s regime).
+        pixel_route = (use_pallas_path and C in (1, 3)
+                       and self.params.score_version != "line")
+        if self.v_slabs is not None:
+            v_slabs = max(1, int(self.v_slabs)) if pixel_route else 1
+        elif pixel_route and jax.default_backend() == "tpu":
+            v_slabs = max(1, int(np.ceil(V * U / 150_000.0)))
+        else:
+            v_slabs = 1
+        # each slab must cover the median halo window (and stay useful)
+        v_slabs = min(v_slabs, max(1, V // 16))
         kw = dict(dim_d=self.dim_d, params=self.params,
                   d_bounds=(self.dmin, self.dmax),
                   use_pallas=self.use_pallas,
                   uniform_bounds=not self._bounds_edited,
                   pad_static=pad_static,
-                  coarse_mode=self.coarse_mode)
+                  coarse_mode=self.coarse_mode,
+                  v_slabs=v_slabs)
         schedule = center_outward_schedule(S)
         import time as _time
 
-        # Bounded dispatches: each device call runs at most pass_chunk
-        # passes as an on-device while_loop (early stop included), and
-        # the host syncs the remaining count in between.  One unbounded
-        # dispatch of the whole schedule trips the TPU runtime's
-        # execution watchdog at production shapes ("TPU worker process
-        # crashed"), wedging the chip — the r1 bench crash root cause.
-        fwd = _get_schedule_fwd(self.early_stop, **kw)
+        # Bounded dispatches: each device call runs pass_chunk passes as
+        # an on-device scan, and the host syncs the remaining count in
+        # between (early stop happens HERE — on-device data-dependent
+        # stopping costs a ~300 s deferred compile, see _schedule_fn).
+        # One unbounded dispatch of the whole schedule also trips the
+        # TPU runtime's execution watchdog at production shapes ("TPU
+        # worker process crashed"), wedging the chip — the r1 bench
+        # crash root cause.
+        fwd = _get_schedule_fwd(**kw)
         # uniform-bounds Pallas levels never read the per-pixel bound
         # arrays: broadcastable dummies avoid 2 x [S, V, U] of HBM
         # (plane() clamps its dynamic index, and every consumer of
@@ -501,17 +656,14 @@ class Depth2DComputer:
         done = 0
         t_chunk = _time.time()
         while done < len(schedule):
-            # fixed-length chunks: the tail is padded (pad values are
-            # never executed — n_valid bounds the on-device loop) so all
-            # dispatches share one compiled executable
+            # full chunks share ONE compiled program; the (shorter)
+            # tail chunk gets its own shape-keyed trace under the same
+            # jit wrapper
             part = schedule[done:done + chunk]
-            n_valid = len(part)
-            done += n_valid
-            part = part + [0] * (chunk - n_valid)
+            done += len(part)
             state, _n_done, remaining = fwd(
                 self.epis, frames, dmin_arr, dmax_arr,
-                epis_padded, state, jnp.asarray(part, jnp.int32),
-                jnp.int32(n_valid))
+                epis_padded, state, jnp.asarray(part, jnp.int32))
             remaining = int(remaining)  # host sync paces the dispatches
             if self.verbose:
                 now = _time.time()

@@ -211,29 +211,42 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                     gb_scr[c, :, blk] = jnp.zeros((S_tot, 128), DTYPE)
                 idx_lo = s_lo + (u_p + PAD) - base
                 idx_hi = s_hi + (u_p + PAD) - base + 1
-                for g in range(n_grp):
-                    @pl.when(jnp.logical_and(idx_hi >= g * 128,
-                                             idx_lo < (g + 1) * 128))
-                    def _grp(g=g, rel0=rel0, blk=blk, base=base):
-                        rel = rel0 - g * 128
-                        relb = rel + 1
-                        in_a = (rel >= 0) & (rel < 128)
-                        in_b = (relb >= 0) & (relb < 128)
-                        rc = jnp.clip(rel, 0, 127)
-                        rbc = jnp.clip(relb, 0, 127)
-                        # per-channel gather from the same window (the
-                        # shear geometry is channel-independent)
-                        for c in range(C):
-                            src = epi_vmem[c, :,
-                                           pl.ds(pl.multiple_of(
-                                               base + g * 128, 128),
-                                               128)]
-                            va = jnp.take_along_axis(src, rc, axis=1)
-                            vb = jnp.take_along_axis(src, rbc, axis=1)
-                            ga_scr[c, :, blk] = jnp.where(
-                                in_a, va, ga_scr[c, :, blk])
-                            gb_scr[c, :, blk] = jnp.where(
-                                in_b, vb, gb_scr[c, :, blk])
+                # dynamic fori over EXACTLY the touched 128-lane groups
+                # (g*128 <= idx_hi and idx_lo < (g+1)*128 is an interval
+                # condition, so the active set is the contiguous range
+                # [idx_lo // 128, idx_hi // 128]).  A Python-unrolled
+                # n_grp loop compiles one branch body per (pixel,
+                # group): measured on the v5e, that structural size is
+                # what the platform's deferred first-activation compile
+                # pays for — the unrolled level-0 kernel cost 100-280 s
+                # of ONE-TIME compile at first real execution vs ~4 s
+                # for the structurally smaller coarse-level kernels.
+                g_lo = jnp.maximum(jnp.int32(0), idx_lo // 128)
+                g_hi = jnp.minimum(jnp.int32(n_grp - 1), idx_hi // 128)
+
+                def grp_body(g, _, rel0=rel0, blk=blk, base=base):
+                    rel = rel0 - g * 128
+                    relb = rel + 1
+                    in_a = (rel >= 0) & (rel < 128)
+                    in_b = (relb >= 0) & (relb < 128)
+                    rc = jnp.clip(rel, 0, 127)
+                    rbc = jnp.clip(relb, 0, 127)
+                    # per-channel gather from the same window (the
+                    # shear geometry is channel-independent)
+                    for c in range(C):
+                        src = epi_vmem[c, :,
+                                       pl.ds(pl.multiple_of(
+                                           base + g * 128, 128),
+                                           128)]
+                        va = jnp.take_along_axis(src, rc, axis=1)
+                        vb = jnp.take_along_axis(src, rbc, axis=1)
+                        ga_scr[c, :, blk] = jnp.where(
+                            in_a, va, ga_scr[c, :, blk])
+                        gb_scr[c, :, blk] = jnp.where(
+                            in_b, vb, gb_scr[c, :, blk])
+                    return 0
+
+                jax.lax.fori_loop(g_lo, g_hi + 1, grp_body, 0)
                 # validity: floor >= 0 and ceil <= U-1 at this pixel
                 ok = (u_p >= -i0b) \
                     & (u_p <= (U - 1) - co_scr[:, blk]) & s_ok

@@ -126,19 +126,27 @@ class ShardedDepth2DComputer:
             mesh, self.dim_d, self.params, (self.dmin, self.dmax),
             use_pallas=self.use_pallas,
             uniform_bounds=not self._bounds_edited,
-            early_stop=self.early_stop,
             pad_static=pad_static,
             coarse_mode=self.coarse_mode)
 
-        schedule = jnp.asarray(center_outward_schedule(S), jnp.int32)
+        schedule = center_outward_schedule(S)
         t0 = time.time()
-        state, n_done, remaining = fwd(
-            self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
-            epis_padded, state, schedule)
+        chunk = 8
+        done = 0
+        remaining = -1
+        while done < len(schedule):
+            part = schedule[done:done + chunk]
+            done += len(part)
+            state, _n_done, remaining = fwd(
+                self.epis, frames, self.dmin_s_v_u, self.dmax_s_v_u,
+                epis_padded, state, jnp.asarray(part, jnp.int32))
+            remaining = int(remaining)
+            if self.early_stop and remaining == 0:
+                break
         self.state = jax.block_until_ready(state)
         if self.verbose:
-            print(f"sharded schedule: {int(n_done)}/{len(schedule)} "
-                  f"passes, remaining px {int(remaining)} "
+            print(f"sharded schedule: {done}/{len(schedule)} "
+                  f"passes, remaining px {remaining} "
                   f"({time.time() - t0:.1f}s)")
         return self.state
 

@@ -88,16 +88,18 @@ def sharded_schedule(mesh: Mesh, dim_d: int, params: DepthParams,
                      d_bounds: Tuple[float, float],
                      use_pallas: bool = False,
                      uniform_bounds: bool = True,
-                     early_stop: bool = True,
                      pad_static=None,
                      coarse_mode: str = "tile"):
-    """Build the jitted shard_map'd FULL-SCHEDULE runner.
+    """Build the jitted shard_map'd pass-CHUNK runner.
 
     Runs the single-device driver's exact pass logic
     (models.depth2d._pass_fn — sweep engine selection, line/disp score
     versions, coarse modes and all) per v-shard inside shard_map, with
-    the ppermute-halo selective median and a psum'd early-stop count,
-    for the whole center-outward schedule in ONE dispatch.
+    the ppermute-halo selective median and a psum'd remaining count.
+    Like the single-device driver, a chunk is a STATIC lax.scan and
+    early stopping is the host's job between chunks (data-dependent
+    on-device control flow around the Mosaic kernels costs a ~300 s
+    deferred compile on the v5e — see models.depth2d._schedule_fn).
 
     Returns fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     state: Depth2DState, s_hats) -> (state, n_done, remaining), with the
@@ -114,7 +116,7 @@ def sharded_schedule(mesh: Mesh, dim_d: int, params: DepthParams,
         _schedule_fn, dim_d=dim_d, params=params, d_bounds=d_bounds,
         use_pallas=use_pallas, uniform_bounds=uniform_bounds,
         pad_static=pad_static, coarse_mode=coarse_mode,
-        early_stop=early_stop, median_fn=median_fn, axis_name=V_AXIS)
+        median_fn=median_fn, axis_name=V_AXIS)
 
     vs = P(V_AXIS, None, None, None)          # epis [V, S, U, C]
     sv = P(None, V_AXIS, None)                # [S, V, U]

@@ -112,7 +112,7 @@ for p in range(max(levels) + 1):
         fwd = jax.jit(functools.partial(
             _schedule_fn, dim_d=D, params=params, d_bounds=(dmin, dmax),
             use_pallas=True, uniform_bounds=False, pad_static=pad_static,
-            coarse_mode="tile", early_stop=False))
+            coarse_mode="tile"))
         sched = jnp.asarray([Sp // 2 + i for i in range(n_passes)],
                             jnp.int32)
         st = make_state()

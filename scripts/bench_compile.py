@@ -1,6 +1,6 @@
 """Attribute COLD COMPILE time of the level-0 pass pipeline to its
 components: pixel sweep kernel (Mosaic), propagation, selective median,
-and the full _schedule_fn chunk (XLA while_loop around everything).
+and the full _schedule_fn chunk (the static scan around everything).
 
 Uses .lower().compile() with NO persistent cache so timings are honest
 cold compiles.  Run on the TPU backend (Mosaic timings are meaningless
@@ -54,16 +54,20 @@ def timed(name, fn, *xs):
           f"{t_compile:6.1f}s", flush=True)
 
 
-def sweep_only(epis, active):
+# NOTE: epi_pad must be an ARGUMENT, not a closure constant — jit
+# lowering fetches closure-captured device arrays back to the host to
+# embed them as MLIR constants, which over the remote axon tunnel
+# stalls .lower() indefinitely on the ~0.5 GB padded volume.
+def sweep_only(epis, active, ep):
     return sweep_pile_pallas_pixel(
         epis, dmin, dmax, D, S // 2, params, active_v_u=active,
-        padded=(epi_pad, pad_static[0], pad_static[1]))
+        padded=(ep, pad_static[0], pad_static[1]))
 
 
-def sweep_pp(epis, active, bmin, bmax):
+def sweep_pp(epis, active, bmin, bmax, ep):
     return sweep_pile_pallas_pixel(
         epis, dmin, dmax, D, S // 2, params, active_v_u=active,
-        padded=(epi_pad, pad_static[0], pad_static[1]),
+        padded=(ep, pad_static[0], pad_static[1]),
         dmin_v_u=bmin, dmax_v_u=bmax)
 
 
@@ -91,9 +95,9 @@ kw = dict(dim_d=D, params=params, d_bounds=(dmin, dmax),
           use_pallas=True, uniform_bounds=True, pad_static=pad_static,
           coarse_mode="tile")
 
-timed("pixel sweep (uniform)", sweep_only, epis, active)
+timed("pixel sweep (uniform)", sweep_only, epis, active, epi_pad)
 timed("pixel sweep (per-pixel)", sweep_pp, epis, active,
-      jnp.full((V, U), dmin), jnp.full((V, U), dmax))
+      jnp.full((V, U), dmin), jnp.full((V, U), dmax), epi_pad)
 timed("propagation (buckets)", prop_only,
       jnp.zeros((S, V, U), bool), frames, jnp.zeros((V, U)),
       jnp.zeros((V, U, 1)), jnp.zeros((V, U), bool))
@@ -103,6 +107,6 @@ timed("one _pass_fn (uniform)",
       functools.partial(_pass_fn, **kw),
       epis, frames, bmin, bmax, epi_pad, st, jnp.int32(S // 2))
 timed("8-pass _schedule_fn",
-      functools.partial(_schedule_fn, early_stop=True, **kw),
+      functools.partial(_schedule_fn, **kw),
       epis, frames, bmin, bmax, epi_pad, st,
-      jnp.arange(8, dtype=jnp.int32), jnp.int32(8))
+      jnp.arange(8, dtype=jnp.int32))

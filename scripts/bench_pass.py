@@ -68,7 +68,7 @@ def timeit(name, n_passes, **kw):
     fwd = jax.jit(functools.partial(
         _schedule_fn, dim_d=D, params=params, d_bounds=(dmin, dmax),
         use_pallas=True, uniform_bounds=True, pad_static=pad_static,
-        coarse_mode="tile", early_stop=False, **kw))
+        coarse_mode="tile", **kw))
     sched = jnp.asarray([50 + i for i in range(n_passes)], jnp.int32)
     st = make_state()
     out = fwd(epis, frames, full_min, full_max, epis_padded, st, sched)

@@ -73,3 +73,38 @@ def test_depth2d_tile_mode_close_to_pixel_mode():
     # and the overall disparity error stays well inside the 0.5 px budget
     rmse = float(np.sqrt(np.mean(diff[both] ** 2)))
     assert rmse < 0.25, rmse
+
+
+@pytest.mark.parametrize("edit_bounds", [False, True])
+def test_depth2d_v_slabs_bitwise(edit_bounds):
+    """v-slabbed pass (scan over v-slabs, halo'd median windows) is
+    BITWISE identical to the unslabbed pallas pipeline: sweep and
+    propagation are per-v independent, and every interior median row
+    sees its full window (models.depth2d._sweep_slabbed docstring)."""
+    vol, _ = make_synthetic_lf(S=8, V=24, U=160, C=1, seed=11,
+                               dmin=-1.0, dmax=1.5)
+
+    def run(v_slabs):
+        c = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 7,
+                            use_pallas=True, pass_chunk=3,
+                            coarse_mode="pixel", v_slabs=v_slabs)
+        if edit_bounds:
+            S, V, U = 8, 24, 160
+            rng = np.random.default_rng(7)
+            center = rng.uniform(-1.0, 1.5, (V, U)).astype(np.float32)
+            dmin = np.clip(center - 0.3, -1.0, 1.5)
+            dmax = np.clip(center + 0.3, -1.0, 1.5)
+            unref = rng.random((V, U)) < 0.3
+            dmin[unref], dmax[unref] = -1.0, 1.5
+            c.set_bounds(jnp.broadcast_to(jnp.asarray(dmin), (S, V, U)),
+                         jnp.broadcast_to(jnp.asarray(dmax), (S, V, U)))
+        c.run()
+        return c.state
+
+    ref = run(1)
+    out = run(3)  # Vs=8, median window 12 rows
+    for name in ("claim", "ce_mask", "best_depth", "disp_conf", "rbar",
+                 "ce"):
+        r = np.asarray(getattr(ref, name))
+        o = np.asarray(getattr(out, name))
+        assert np.array_equal(r, o, equal_nan=True), name

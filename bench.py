@@ -43,7 +43,7 @@ RMSE_MARGIN_PX = 0.10
 P90_MARGIN_PX = 0.10
 
 
-def synthetic_sequence(S, V, U, seed=0):
+def synthetic_sequence(S, V, U, seed=0, dmin=-1.0, dmax=4.0):
     """Layered moving-strip light field with band-limited texture.
 
     Each layer's radiance is an analytic sum of random sinusoids
@@ -59,7 +59,7 @@ def synthetic_sequence(S, V, U, seed=0):
     rng = np.random.default_rng(seed)
     s_hat = S // 2
     n_layers = 6
-    disps = np.sort(rng.uniform(-1.0, 4.0, n_layers))
+    disps = np.sort(rng.uniform(dmin, dmax, n_layers))
     intervals = [(-10 * U, 10 * U)]
     for _ in range(1, n_layers):
         a = int(rng.integers(0, U - 10))
@@ -164,15 +164,17 @@ def edge_mask(vol, params):
     return ce > params.edge_score_threshold
 
 
-def run_once(vol, dmin, dmax, D, use_pallas, verbose):
+def run_once(vol, dmin, dmax, D, use_pallas, verbose, params=None):
     """One full fine-to-coarse pipeline; returns (ftc, fused, seconds)."""
     import contextlib
 
+    from remotesensingproject_tpu.config import DEFAULT_PARAMS
     from remotesensingproject_tpu.models.fine_to_coarse import FineToCoarse
 
     t0 = time.time()
     with contextlib.redirect_stdout(sys.stderr):
         ftc = FineToCoarse(vol, dmin, dmax, D, use_pallas=use_pallas,
+                           params=params or DEFAULT_PARAMS,
                            verbose=verbose,
                            pass_progress=os.environ.get(
                                "BENCH_PROGRESS") == "1")
@@ -201,6 +203,8 @@ def main():
 
     small = os.environ.get("BENCH_SMALL") == "1"
     rgb = os.environ.get("BENCH_RGB") == "1"
+    hr = os.environ.get("BENCH_HR") == "1"
+    d240 = os.environ.get("BENCH_D240") == "1"
     if rgb:
         # MansionLR config (report/rs_report.tex:427: 7409 s on the
         # i3-6100 for 1146x720 RGB, d in [0, 4], 120 candidates)
@@ -209,6 +213,24 @@ def main():
         metric = "mansionLR_synthetic_rgb_end_to_end_throughput"
         baseline_s = 7409.0 * (S * V * U) / (100 * 720 * 1146)
         anchor_suffix = "rgb"
+    elif hr:
+        # SkysatHR18 config (rs_report.tex:436: 1714 s for 1080x1920,
+        # d in [-2, 8], 120 candidates — the wide-U / wide-d regime)
+        S, V, U, D = (24, 256, 512, 32) if small else (100, 1080, 1920,
+                                                       120)
+        dmin, dmax = -2.0, 8.0
+        metric = "skysatHR18_synthetic_end_to_end_throughput"
+        baseline_s = 1714.0 * (S * V * U) / (100 * 1080 * 1920)
+        anchor_suffix = ""
+    elif d240:
+        # SkysatLR18 [240] (rs_report.tex:431: 804 s — tests the
+        # linear-in-D scaling claim, rs_report.tex:547)
+        S, V, U, D = (24, 128, 256, 64) if small else (100, 540, 960,
+                                                       240)
+        dmin, dmax = -1.0, 4.0
+        metric = "skysatLR18_240_synthetic_end_to_end_throughput"
+        baseline_s = 804.0 * (S * V * U) / (100 * 540 * 960)
+        anchor_suffix = ""
     else:
         S, V, U, D = (24, 128, 256, 32) if small else (100, 540, 960, 120)
         dmin, dmax = -1.0, 4.0
@@ -220,7 +242,7 @@ def main():
     if rgb:
         vol, gt_s_u = synthetic_sequence_rgb(S, V, U)
     else:
-        vol, gt_s_u = synthetic_sequence(S, V, U)
+        vol, gt_s_u = synthetic_sequence(S, V, U, dmin=dmin, dmax=dmax)
     gen_s = time.time() - t0
     print(f"# generated volume {vol.shape} in {gen_s:.1f}s",
           file=sys.stderr)
@@ -229,14 +251,27 @@ def main():
     use_pallas = backend == "tpu"
     print(f"# backend={backend} use_pallas={use_pallas}", file=sys.stderr)
 
+    # BENCH_SCORE=disp|line: the reference's confidence-criterion
+    # variants (rs_report.tex:487 gating table; core.hpp:1032-1081) at
+    # production shape — evidence rows, gated only on the edge-mode
+    # anchor with a wide margin (the reference publishes no quality
+    # stats for these modes).
+    score_version = os.environ.get("BENCH_SCORE", "edge")
+    params = DEFAULT_PARAMS
+    if score_version != "edge":
+        import dataclasses
+        params = dataclasses.replace(
+            DEFAULT_PARAMS, score_version=score_version)
+        metric += f"_{score_version}"
+
     ftc, fused, cold_s = run_once(vol, dmin, dmax, D, use_pallas,
-                                  verbose=True)
+                                  verbose=True, params=params)
     print(f"# cold (compile-inclusive) {cold_s:.1f}s", file=sys.stderr)
     if os.environ.get("BENCH_COLD_ONLY") == "1":
         warm_s = cold_s
     else:
         ftc, fused, warm_s = run_once(vol, dmin, dmax, D, use_pallas,
-                                      verbose=True)
+                                      verbose=True, params=params)
         print(f"# warm (steady-state)     {warm_s:.1f}s", file=sys.stderr)
 
     mpix = S * V * U / 1e6
@@ -268,8 +303,14 @@ def main():
         print(f"# reference anchor ({key}): RMSE {ref['rmse_px']} "
               f"P90 {ref['p90_px']} on {ref['coverage'] * 100:.1f}%",
               file=sys.stderr)
-        quality_ok = (rmse <= ref["rmse_px"] + RMSE_MARGIN_PX
-                      and p90 <= ref["p90_px"] + P90_MARGIN_PX)
+        if score_version == "edge":
+            quality_ok = (rmse <= ref["rmse_px"] + RMSE_MARGIN_PX
+                          and p90 <= ref["p90_px"] + P90_MARGIN_PX)
+        else:
+            # evidence row: disp/line reject more sources (the C_d/C_l
+            # gates), so coverage-conditioned stats drift from the
+            # edge-mode anchor; wide sanity margin only
+            quality_ok = rmse <= ref["rmse_px"] + 0.5
     else:
         print(f"# WARNING: no reference anchor for {key}; falling back "
               f"to an absolute P50 gate", file=sys.stderr)

@@ -92,7 +92,7 @@ def _line_confidence(ce_s_v_u, best_depth_v_u, k_best_v_s_u, mask_v_u,
 
 
 def _sweep_slabbed(run_sweep, epis, active, padded, dmin_v_u, dmax_v_u,
-                   n_slabs: int):
+                   n_slabs: int, with_k: bool = False):
     """Run the (per-v independent) sweep as a scan over v-slabs.
 
     The axon/v5e platform defers the real backend compile of a
@@ -111,7 +111,7 @@ def _sweep_slabbed(run_sweep, epis, active, padded, dmin_v_u, dmax_v_u,
     ep, pad_f, s_pad = padded
 
     def body(carry, k):
-        bs, sm_, bd, rb = carry
+        bs, sm_, bd, rb, kb = carry
         ik = jnp.minimum(k * Vs, V - Vs)
 
         def sl(x):
@@ -124,16 +124,21 @@ def _sweep_slabbed(run_sweep, epis, active, padded, dmin_v_u, dmax_v_u,
         def upd(full, part):
             return jax.lax.dynamic_update_slice_in_dim(full, part, ik, 0)
 
+        if with_k:
+            kb = upd(kb, res.k_best)
         return (upd(bs, res.best_score), upd(sm_, res.score_mean),
-                upd(bd, res.best_depth), upd(rb, res.rbar)), 0
+                upd(bd, res.best_depth), upd(rb, res.rbar), kb), 0
 
     z = jnp.zeros((V, U), DTYPE)
-    init = (z, z, z, jnp.zeros((V, U, C), DTYPE))
-    (bs, sm_, bd, rb), _ = jax.lax.scan(
+    kb0 = jnp.zeros((V, S, U) if with_k else (1, 1, 1), DTYPE)
+    init = (z, z, z, jnp.zeros((V, U, C), DTYPE), kb0)
+    (bs, sm_, bd, rb, kb), _ = jax.lax.scan(
         body, init, jnp.arange(n_slabs, dtype=jnp.int32))
     from ..ops.sweep import SweepResult
+    if not with_k:
+        kb = jnp.zeros((V, S, U), DTYPE)
     return SweepResult(best_score=bs, score_mean=sm_, best_depth=bd,
-                       rbar=rb, k_best=jnp.zeros((V, S, U), DTYPE))
+                       rbar=rb, k_best=kb)
 
 
 def _median_slabbed(src, frame, mask, size: int, epsilon: float,
@@ -202,19 +207,48 @@ def _prop_slabbed(prop_fn, claim, frames, filtered, rbar, source_mask,
     return claim_c, tg
 
 
+def _lineconf_slabbed(ce, filtered, k_best, mask, s_hat, n_slabs: int):
+    """_line_confidence as a scan over v-slabs (per-v independent —
+    the C_e interpolation gathers along u within each (s, v) row)."""
+    S, V, U = ce.shape
+    Vs = -(-V // n_slabs)
+
+    def body(out, k):
+        ik = jnp.minimum(k * Vs, V - Vs)
+        lc = _line_confidence(
+            jax.lax.dynamic_slice_in_dim(ce, ik, Vs, 1),
+            jax.lax.dynamic_slice_in_dim(filtered, ik, Vs, 0),
+            jax.lax.dynamic_slice_in_dim(k_best, ik, Vs, 0),
+            jax.lax.dynamic_slice_in_dim(mask, ik, Vs, 0), s_hat)
+        return jax.lax.dynamic_update_slice_in_dim(out, lc, ik, 0), 0
+
+    out, _ = jax.lax.scan(body, jnp.zeros((V, U), DTYPE),
+                          jnp.arange(n_slabs, dtype=jnp.int32))
+    return out
+
+
 def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
              state: Depth2DState,
              s_hat, *, dim_d: int, params: DepthParams,
              d_bounds: Tuple[float, float], use_pallas: bool,
              uniform_bounds: bool, pad_static=None,
              coarse_mode: str = "tile",
-             median_fn=None, v_slabs: int = 1) -> Depth2DState:
+             median_fn=None, v_slabs: int = 1,
+             sweep_fn=None, prop_fn=None) -> Depth2DState:
     """One center-outward pass (sweep + median + propagation), jittable.
 
     ``median_fn`` (same signature as ops.median.selective_median)
     overrides the selective median — the sharded driver passes the
     ppermute-halo variant; everything else in the pass is per-v local
     and runs unchanged inside shard_map.
+
+    ``sweep_fn(active, dmin_v_u, dmax_v_u, s_hat) -> SweepResult`` and
+    ``prop_fn(claim, frames, filtered, rbar, source_mask, s_hat,
+    payloads) -> (claim, targets)`` similarly override the sweep engine
+    and the propagation — the 2-D (v, u)-sharded driver injects
+    variants that exchange the u-halos (parallel/sharding2d.py) while
+    ALL the merge/state logic of the pass stays this one
+    implementation.
 
     ``v_slabs`` > 1 runs the sweep / median / propagation stages as
     scans over v-slabs so every compiled kernel is slab-sized (see
@@ -249,7 +283,9 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     padded = None
     if pad_static is not None:
         padded = (epis_padded, pad_static[0], pad_static[1])
-    if (use_pallas and params.interpolation == "linear" and C in (1, 3)
+    if sweep_fn is not None:
+        res = sweep_fn(active, dmin_v_u, dmax_v_u, s_hat)
+    elif (use_pallas and params.interpolation == "linear" and C in (1, 3)
             and not with_k):
         # pixel-compacted kernel: cost scales with the ACTIVE pixel
         # count (late passes leave spread-out survivors that keep every
@@ -275,13 +311,22 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
                             None if uniform_bounds else dmax_v_u)
     elif use_pallas and uniform_bounds and params.interpolation == "linear":
         from ..ops.sweep_pallas import sweep_pile_pallas
-        n_tiles = -(-U // 128)
-        act_pad = jnp.pad(active, ((0, 0), (0, n_tiles * 128 - U)))
-        chunk_flags = jnp.any(act_pad.reshape(V, n_tiles, 128), axis=2)
-        res = sweep_pile_pallas(epis, d_bounds[0], d_bounds[1], dim_d,
-                                s_hat, params, with_k_best=with_k,
-                                padded=padded, row_active=chunk_flags,
-                                interpret=interp)
+
+        def run_dense(ep_s, act_s, pad_s, _dmin_s, _dmax_s):
+            Vs = act_s.shape[0]
+            n_tiles = -(-U // 128)
+            act_pad = jnp.pad(act_s, ((0, 0), (0, n_tiles * 128 - U)))
+            flags = jnp.any(act_pad.reshape(Vs, n_tiles, 128), axis=2)
+            return sweep_pile_pallas(
+                ep_s, d_bounds[0], d_bounds[1], dim_d, s_hat, params,
+                with_k_best=with_k, padded=pad_s, row_active=flags,
+                interpret=interp)
+
+        if v_slabs > 1:
+            res = _sweep_slabbed(run_dense, epis, active, padded,
+                                 None, None, v_slabs, with_k=with_k)
+        else:
+            res = run_dense(epis, active, padded, None, None)
     elif use_pallas and params.interpolation == "linear":
         from ..ops.sweep_pallas_perpixel import sweep_pile_pallas_perpixel
         n_tiles = -(-U // 128)
@@ -381,8 +426,12 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         # values — and the Pallas kernels' k_best is undefined on
         # claimed chunks).  Elsewhere the previous plane value (e.g. a
         # propagation-painted C_l) is retained.
-        lc_raw = _line_confidence(st.ce, filtered, res.k_best, mask_new,
-                                  s_hat)
+        if v_slabs > 1:
+            lc_raw = _lineconf_slabbed(st.ce, filtered, res.k_best,
+                                       mask_new, s_hat, v_slabs)
+        else:
+            lc_raw = _line_confidence(st.ce, filtered, res.k_best,
+                                      mask_new, s_hat)
         lc = jnp.where(good, lc_raw, plane(state.line_conf))
         lc_state = jax.lax.dynamic_update_index_in_dim(
             st.line_conf, lc, s_hat, 0)
@@ -394,7 +443,11 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     else:
         source_mask = mask_new
 
-    if use_pallas:
+    if prop_fn is not None:
+        claim_out, targets_out = prop_fn(
+            st.claim, frames, filtered, rbar_new, source_mask, s_hat,
+            payloads)
+    elif use_pallas:
         # VMEM line-paint kernel: handles arbitrary per-pixel depth
         # values (uniform AND bounds-edited levels), bit-identical to
         # the XLA path (tests/test_propagation_pallas.py)
@@ -615,9 +668,15 @@ class Depth2DComputer:
         # with plane size; ~135x960 slabs stay in the ~4 s regime).
         pixel_route = (use_pallas_path and C in (1, 3)
                        and self.params.score_version != "line")
+        # line mode's dense-row kernel is slab-wired at uniform-bounds
+        # levels (the k_best export rides the slab scan carry)
+        line_dense_route = (use_pallas_path
+                            and self.params.score_version == "line"
+                            and not self._bounds_edited)
+        slab_capable = pixel_route or line_dense_route
         if self.v_slabs is not None:
-            v_slabs = max(1, int(self.v_slabs)) if pixel_route else 1
-        elif pixel_route and jax.default_backend() == "tpu":
+            v_slabs = max(1, int(self.v_slabs)) if slab_capable else 1
+        elif slab_capable and jax.default_backend() == "tpu":
             v_slabs = max(1, int(np.ceil(V * U / 150_000.0)))
         else:
             v_slabs = 1

@@ -24,6 +24,31 @@ import jax.numpy as jnp
 from ..types import DTYPE, norm
 
 
+def _sort_taps(taps):
+    """Sort a small stacked tap axis with an odd-even transposition
+    min/max network instead of jnp.sort.
+
+    XLA's variadic sort lowers to an expensive comparator loop on TPU
+    (measured 30-70 ms/pass at the bench shape for the 25-tap stack —
+    the last non-kernel stage inside the pass loop), and on the axon
+    v5e it is also one of the constructs the platform's deferred
+    first-execution compile pays heavily for.  K rounds of alternating
+    compare-exchanges are plain elementwise minimum/maximum ops that
+    XLA fuses; for K = 25 that is 300 vreg-cheap min/max pairs.
+    Identical output ordering to jnp.sort for the float inputs used
+    here (finite values and +inf; no NaNs).
+    """
+    k = len(taps)
+    taps = list(taps)
+    for rnd in range(k):
+        start = rnd & 1
+        for i in range(start, k - 1, 2):
+            lo = jnp.minimum(taps[i], taps[i + 1])
+            hi = jnp.maximum(taps[i], taps[i + 1])
+            taps[i], taps[i + 1] = lo, hi
+    return taps
+
+
 def selective_median(src_v_u, frame_v_u_c, mask_v_u, size: int,
                      epsilon: float):
     """Confidence- and color-gated median over a (v, u) window.
@@ -60,19 +85,17 @@ def selective_median(src_v_u, frame_v_u_c, mask_v_u, size: int,
             vals.append(sv)
             includes.append(inc)
 
-    vals = jnp.stack(vals, axis=0)          # [size^2, V, U]
-    includes = jnp.stack(includes, axis=0)  # [size^2, V, U]
-
     big = jnp.asarray(jnp.inf, DTYPE)
-    sortable = jnp.where(includes, vals, big)
-    ordered = jnp.sort(sortable, axis=0)
-    n = jnp.sum(includes.astype(jnp.int32), axis=0)  # [V, U]
+    sortable = [jnp.where(inc, v, big) for v, inc in zip(vals, includes)]
+    ordered = _sort_taps(sortable)
+    n = sum(inc.astype(jnp.int32) for inc in includes)  # [V, U]
     pick = jnp.clip(n // 2, 0, size * size - 1)
     # one-hot select instead of take_along_axis: a depth-25 gather
     # lowers to per-element dynamic indexing on TPU (slow); the masked
     # sum selects the identical element
-    tap_idx = jnp.arange(size * size, dtype=jnp.int32)[:, None, None]
-    med = jnp.sum(jnp.where(tap_idx == pick[None], ordered, 0.0), axis=0)
+    med = jnp.zeros_like(src_v_u)
+    for i, o in enumerate(ordered):
+        med = med + jnp.where(pick == i, o, 0.0)
     # center pixel is always included where mask_v_u is set (norm 0 < eps),
     # so n >= 1 there; unmasked outputs are 0 by the reference's contract.
     return jnp.where(mask_v_u, med, 0.0)
@@ -92,6 +115,5 @@ def median_blur(img_v_u, size: int = 3):
         for dy in range(size)
         for dx in range(size)
     ]
-    stacked = jnp.stack(taps, axis=0)
-    ordered = jnp.sort(stacked, axis=0)
+    ordered = _sort_taps(taps)
     return ordered[(size * size) // 2]

@@ -75,6 +75,7 @@ def propagate(
     # sequence of (target_s_v_u, source_v_u) pairs painted under the
     # propagation condition; pass the depth volume itself as one of them.
     dim_d: int = 0,
+    u_origin=None,
 ):
     """One pass of line painting.
 
@@ -86,10 +87,23 @@ def propagate(
     verified on device with a bitwise membership test; if any source is
     off-grid the dense scan runs instead, bit-identically).
 
+    ``u_origin`` (traced int32, default 0) supports u-SHARDED targets:
+    the source planes (depth_f/rbar/source_mask and payload sources) may
+    be WIDER than the local targets — global width U_src with the local
+    target block starting at global column u_origin.  Every per-o window
+    then reads sources at [u_origin - o, u_origin - o + U): targets stay
+    shard-local while sources from neighboring u-shards (up to the max
+    line reach PADO = ceil(max|d| * slope * (S-1)) + 1 columns — the
+    u-halo of SURVEY §7 step 7 / core.hpp:534-561) paint into this
+    shard.  With the default (u_origin=0, U_src == U) the math is
+    unchanged bit for bit.
+
     Returns:
       (claim_s_v_u, tuple of updated target volumes in payload order).
     """
     S, V, U = claim_s_v_u.shape
+    u_origin = jnp.int32(0) if u_origin is None else \
+        jnp.asarray(u_origin, jnp.int32)
     C = frames_s_v_u_c.shape[-1]
     s_hat = jnp.asarray(s_hat, jnp.int32)
     dmin, dmax = d_bounds
@@ -159,8 +173,9 @@ def propagate(
             for t in targets)
 
         def shifted(x, o):
-            """x[:, u - o] for u in [0, U): a pure dynamic slice."""
-            starts = [jnp.int32(0), (PADO - o).astype(jnp.int32)]
+            """x[:, u_origin + u - o] for u in [0, U): a dynamic slice."""
+            starts = [jnp.int32(0),
+                      (u_origin + PADO - o).astype(jnp.int32)]
             starts += [jnp.int32(0)] * (x.ndim - 2)
             return jax.lax.dynamic_slice(x, starts, (V, U) + x.shape[2:])
 

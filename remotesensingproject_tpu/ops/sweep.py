@@ -58,7 +58,8 @@ def _gather_rows(epi_s_u_c, idx_s_u, U):
     return jnp.take_along_axis(epi_s_u_c, idx_s_u[..., None], axis=1)
 
 
-def _radiances_for_d(epi_s_u_c, delta_u, s_hat, slope_factor, interpolation):
+def _radiances_for_d(epi_s_u_c, delta_u, s_hat, slope_factor, interpolation,
+                     u_valid=None):
     """Sheared radiance samples for one candidate disparity plane.
 
     Args:
@@ -67,6 +68,15 @@ def _radiances_for_d(epi_s_u_c, delta_u, s_hat, slope_factor, interpolation):
       s_hat: traced int32 scalar.
       slope_factor: static float.
       interpolation: "linear" | "nearest".
+      u_valid: optional traced (lo, hi) — the VALID sample index window
+        within the input's u axis.  Defaults to (0, U-1), the whole
+        input.  A u-sharded caller passes a u-HALOED epi block whose
+        columns map to global [u0 - Hu, u0 + Ul + Hu); global validity
+        [0, U_global-1] then becomes the local window
+        (Hu - u0, Hu - u0 + U_global - 1) — out-of-IMAGE samples must be
+        excluded from card_R exactly like the unsharded operator
+        (rslf_interpolation.hpp:156-193 NaN semantics), while
+        out-of-BLOCK never happens (Hu covers the max shear reach).
 
     Returns:
       (val [S, U, C] with invalid slots zero-filled,
@@ -74,6 +84,7 @@ def _radiances_for_d(epi_s_u_c, delta_u, s_hat, slope_factor, interpolation):
        valid [S, U] bool).
     """
     S, U, C = epi_s_u_c.shape
+    u_lo, u_hi = (0, U - 1) if u_valid is None else u_valid
     s_idx = jnp.arange(S, dtype=DTYPE)
     u_idx = jnp.arange(U, dtype=DTYPE)
     shift = (s_hat.astype(DTYPE) - s_idx)[:, None] * delta_u[None, :] * DTYPE(
@@ -85,14 +96,14 @@ def _radiances_for_d(epi_s_u_c, delta_u, s_hat, slope_factor, interpolation):
         # Intended semantics of Interpolation1DNearestNeighbour
         # (rslf_interpolation.hpp:81-131): round-half-away, valid in range.
         ri = jnp.sign(idx) * jnp.floor(jnp.abs(idx) + 0.5)
-        valid = (ri >= 0) & (ri <= U - 1)
+        valid = (ri >= u_lo) & (ri <= u_hi)
         ric = jnp.clip(ri, 0, U - 1).astype(jnp.int32)
         val = _gather_rows(epi_s_u_c, ric, U)
     else:
         fi = jnp.floor(idx)
         ci = jnp.ceil(idx)
         t = idx - fi
-        valid = (fi >= 0) & (ci <= U - 1)
+        valid = (fi >= u_lo) & (ci <= u_hi)
         fic = jnp.clip(fi, 0, U - 1).astype(jnp.int32)
         cic = jnp.clip(ci, 0, U - 1).astype(jnp.int32)
         a = _gather_rows(epi_s_u_c, fic, U)
@@ -139,7 +150,7 @@ def _mean_shift_scores(valpos, valraw, valid, rbar0, params: DepthParams):
 
 
 def sweep_epi(epi_s_u_c, dmin_u, dmax_u, dim_d, s_hat, params: DepthParams,
-              with_k_best: bool = False):
+              with_k_best: bool = False, u_valid=None):
     """Dense sweep of one EPI: all u, all d.
 
     Returns per-u arrays (best_score [U], score_mean [U], best_depth [U],
@@ -167,7 +178,7 @@ def sweep_epi(epi_s_u_c, dmin_u, dmax_u, dim_d, s_hat, params: DepthParams,
         delta_u = dmin_u + jax.lax.optimization_barrier(num / den)
         valpos, valraw, valid = _radiances_for_d(
             epi_s_u_c, delta_u, s_hat, params.slope_factor,
-            params.interpolation)
+            params.interpolation, u_valid=u_valid)
         card = jnp.sum(valid.astype(DTYPE), axis=0)  # [U]
         score_num, rbar, k_last = _mean_shift_scores(
             valpos, valraw, valid, rbar_init, params)
@@ -196,7 +207,7 @@ def sweep_epi(epi_s_u_c, dmin_u, dmax_u, dim_d, s_hat, params: DepthParams,
 
 def sweep_pile(epis_v_s_u_c, dmin_v_u, dmax_v_u, dim_d, s_hat,
                params: DepthParams, with_k_best: bool = False,
-               v_chunk: int = 8) -> SweepResult:
+               v_chunk: int = 8, u_valid=None) -> SweepResult:
     """Dense sweep over all EPIs (the per-v fan-out of
     compute_1D_depth_epi_pile, core.hpp:772-875 — the reference's OpenMP
     axis becomes the vectorized/sharded axis here).
@@ -231,7 +242,7 @@ def sweep_pile(epis_v_s_u_c, dmin_v_u, dmax_v_u, dim_d, s_hat,
         epi_b, dmin_b, dmax_b = args
         return jax.vmap(
             lambda e, lo, hi: sweep_epi(e, lo, hi, dim_d, s_hat, params,
-                                        with_k_best)
+                                        with_k_best, u_valid=u_valid)
         )(epi_b, dmin_b, dmax_b)
 
     bs, sm, bd, rb, kb = jax.lax.map(chunk_fn, (epis_c, dmin_c, dmax_c))

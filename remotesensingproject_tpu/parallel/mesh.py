@@ -10,6 +10,7 @@ from jax.sharding import Mesh
 
 
 V_AXIS = "v"
+U_AXIS = "u"
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -25,3 +26,17 @@ def make_mesh(n_devices: Optional[int] = None,
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (V_AXIS,))
+
+
+def make_mesh_2d(shape=(2, 4), devices=None) -> Mesh:
+    """2-D (v, u) mesh for VERY WIDE frames (SURVEY §7 step 7).
+
+    v stays the primary data-parallel axis; the u axis additionally
+    splits image columns, with the shear gather / propagation reading
+    across the split through a u-halo of ceil(max|s_hat-s| * d_max *
+    slope) + 1 columns (parallel/sharding2d.py).
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = int(np.prod(shape))
+    return Mesh(np.asarray(devices[:n]).reshape(shape), (V_AXIS, U_AXIS))

@@ -64,7 +64,14 @@ def make_state():
         claim=claim0)
 
 
+# v_slabs matches the production driver's auto choice at this shape
+# (the platform's deferred first-activation compile makes UNslabbed
+# level-0 programs cost 200-300 s once — see models.depth2d)
+SLABS = int(os.environ.get("PASS_SLABS", "4"))
+
+
 def timeit(name, n_passes, **kw):
+    kw.setdefault("v_slabs", SLABS)
     fwd = jax.jit(functools.partial(
         _schedule_fn, dim_d=D, params=params, d_bounds=(dmin, dmax),
         use_pallas=True, uniform_bounds=True, pad_static=pad_static,
@@ -84,6 +91,7 @@ def timeit(name, n_passes, **kw):
 
 timeit("schedule 1 pass", 1)
 timeit("schedule 8 passes", 8)
+timeit("schedule 8 passes, v_slabs=2", 8, v_slabs=2)
 
 
 # ---- bisect: stub out stages to find the activity-independent cost ----

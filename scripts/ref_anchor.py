@@ -50,6 +50,10 @@ CONFIGS = {
     # MansionLR analog (rs_report.tex:427): RGB, d in [0, 4]
     "rgb_small": (24, 128, 256, 32, 0.0, 4.0, True),
     "rgb_full": (100, 720, 1146, 120, 0.0, 4.0, True),
+    # SkysatHR18 analog (rs_report.tex:436: 1714 s, d in [-2, 8])
+    "hr": (100, 1080, 1920, 120, -2.0, 8.0, False),
+    # SkysatLR18 [240] (rs_report.tex:431: 804 s; linear-in-D claim)
+    "full240": (100, 540, 960, 240, -1.0, 4.0, False),
 }
 
 
@@ -95,7 +99,7 @@ def run_config(name):
         ext = "png"
     else:
         from bench import synthetic_sequence
-        vol, gt_s_u = synthetic_sequence(S, V, U)
+        vol, gt_s_u = synthetic_sequence(S, V, U, dmin=dmin, dmax=dmax)
         vol = np.asarray(vol)  # [V, S, U, 1] float32
         ext = "tif"
 

@@ -150,6 +150,51 @@ def pipeline_ab(S=100, V=64, U=960, D=120):
     }
 
 
+def median_ab(V=540, U=960, C=1):
+    """On-chip bitwise A/B: Pallas selective median vs the XLA path."""
+    import jax
+    import jax.numpy as jnp
+
+    from remotesensingproject_tpu.ops.median import selective_median
+    from remotesensingproject_tpu.ops.median_pallas import (
+        selective_median_pallas)
+
+    rng = np.random.default_rng(3)
+    src = jnp.asarray(rng.random((V, U), np.float32) * 5 - 1)
+    frame = jnp.asarray(rng.random((V, U, C), np.float32))
+    mask = jnp.asarray(rng.random((V, U)) < 0.7)
+    fk = jax.jit(lambda s, f, m: selective_median_pallas(s, f, m, 5, 0.1))
+    fx = jax.jit(lambda s, f, m: selective_median(s, f, m, 5, 0.1))
+    a = np.asarray(fk(src, frame, mask))
+    b = np.asarray(fx(src, frame, mask))
+    return bool(np.array_equal(a, b))
+
+
+def slab_ab(S=24, V=64, U=960, D=32):
+    """On-chip bitwise A/B: v-slabbed pipeline vs unslabbed (the slab
+    scan is the production level-0 route; interpret-mode parity alone
+    cannot see hardware-only divergences — the r3 dynamic_rotate
+    lesson)."""
+    import jax.numpy as jnp
+
+    import oracle
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+
+    dmin, dmax = -1.0, 2.0
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=1, n_objects=4,
+                                      seed=5, dmin=dmin, dmax=dmax)
+    res = {}
+    for n in (1, 4):
+        c = Depth2DComputer(jnp.asarray(vol), dmin, dmax, D,
+                            use_pallas=True, early_stop=False,
+                            v_slabs=n)
+        st = c.run()
+        res[n] = (np.asarray(st.best_depth), np.asarray(st.claim),
+                  np.asarray(st.disp_conf))
+    same = all(np.array_equal(res[1][i], res[4][i]) for i in range(3))
+    return bool(same)
+
+
 def main():
     import jax
 
@@ -160,21 +205,31 @@ def main():
     enable_compilation_cache()
     summary = {"backend": jax.default_backend()}
 
-    print("1/3 sweep kernel one-pass A/B at production shape", flush=True)
+    print("1/5 sweep kernel one-pass A/B at production shape", flush=True)
     summary["sweep_production"] = sweep_one_pass_ab()
     print(json.dumps(summary["sweep_production"]), flush=True)
 
-    print("2/3 propagation kernel bitwise A/B", flush=True)
+    print("2/5 propagation kernel bitwise A/B", flush=True)
     prop_ok = (prop_kernel_check.check(S=100, V=540, U=960, seed=0)
                and prop_kernel_check.check(seed=1, slope=0.5))
     summary["prop_bitwise_ab"] = bool(prop_ok)
 
-    print("3/3 full-pipeline A/B at V=64", flush=True)
+    print("3/5 selective-median kernel bitwise A/B", flush=True)
+    summary["median_bitwise_ab"] = median_ab()
+    print(f"  median A/B: {summary['median_bitwise_ab']}", flush=True)
+
+    print("4/5 v-slab pipeline bitwise A/B", flush=True)
+    summary["slab_bitwise_ab"] = slab_ab()
+    print(f"  slab A/B: {summary['slab_bitwise_ab']}", flush=True)
+
+    print("5/5 full-pipeline A/B at V=64", flush=True)
     summary["pipeline_v64"] = pipeline_ab()
     print(json.dumps(summary["pipeline_v64"]), flush=True)
 
     summary["pass"] = bool(summary["sweep_production"]["pass"]
                            and prop_ok
+                           and summary["median_bitwise_ab"]
+                           and summary["slab_bitwise_ab"]
                            and summary["pipeline_v64"]["pass"])
     with open("ACCEPTANCE_TPU.json", "w") as f:
         json.dump(summary, f, indent=1)

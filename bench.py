@@ -331,9 +331,16 @@ def main():
         "quality_p90_px": round(p90, 4),
         "quality_ref_rmse_px": ref["rmse_px"] if ref else None,
         "quality_ok": bool(quality_ok),
+        "cold_ok": bool(cold_s <= baseline_s),
     }))
     if not quality_ok:
         print("# QUALITY GATE FAILED (see anchor above)", file=sys.stderr)
+        sys.exit(1)
+    if cold_s > baseline_s:
+        # round-3 verdict #1: a user's FIRST run (compile-inclusive)
+        # must beat the reference's AOT binary on the same config
+        print(f"# COLD GATE FAILED: first run {cold_s:.1f}s > "
+              f"reference {baseline_s:.1f}s", file=sys.stderr)
         sys.exit(1)
 
 

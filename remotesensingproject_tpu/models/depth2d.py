@@ -286,7 +286,10 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     if sweep_fn is not None:
         res = sweep_fn(active, dmin_v_u, dmax_v_u, s_hat)
     elif (use_pallas and params.interpolation == "linear" and C in (1, 3)
-            and not with_k):
+            and not with_k and dim_d <= 128):
+        # (dim_d > 128 exceeds the pixel kernel's candidate lane axis:
+        # those configs, e.g. the reference's [240] rows, route to the
+        # dense kernels below, which loop d with u on the lanes)
         # pixel-compacted kernel: cost scales with the ACTIVE pixel
         # count (late passes leave spread-out survivors that keep every
         # 128-lane chunk of the dense kernels alive).  Bounds-edited
@@ -667,13 +670,14 @@ class Depth2DComputer:
         # deferred first-execution compile explodes super-linearly
         # with plane size; ~135x960 slabs stay in the ~4 s regime).
         pixel_route = (use_pallas_path and C in (1, 3)
-                       and self.params.score_version != "line")
-        # line mode's dense-row kernel is slab-wired at uniform-bounds
-        # levels (the k_best export rides the slab scan carry)
-        line_dense_route = (use_pallas_path
-                            and self.params.score_version == "line"
-                            and not self._bounds_edited)
-        slab_capable = pixel_route or line_dense_route
+                       and self.params.score_version != "line"
+                       and self.dim_d <= 128)
+        # the dense-row kernel is slab-wired at uniform-bounds levels
+        # (line mode's k_best export rides the slab scan carry; it also
+        # serves dim_d > 128, which exceeds the pixel kernel's
+        # candidate lane axis)
+        dense_route = use_pallas_path and not self._bounds_edited
+        slab_capable = pixel_route or dense_route
         if self.v_slabs is not None:
             v_slabs = max(1, int(self.v_slabs)) if slab_capable else 1
         elif slab_capable and jax.default_backend() == "tpu":

@@ -236,3 +236,24 @@ def test_edge_confidence_opening_in_pipeline(rng):
         ref = cv2.morphologyEx(m0[:, s].astype(np.uint8),
                                cv2.MORPH_OPEN, se)
         assert (np.asarray(m3)[:, s] == (ref > 0)).all()
+
+
+def test_dim_d_over_128_routes_to_dense_kernel():
+    """dim_d > 128 exceeds the pixel kernel's candidate lane axis (the
+    reference's [240] rows); the driver must route those to the dense
+    kernels and still match the XLA oracle path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import oracle
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+
+    vol, _ = oracle.make_synthetic_lf(S=5, V=6, U=48, C=1, n_objects=3,
+                                      seed=3, dmin=-1.0, dmax=1.5)
+    a = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 130,
+                        use_pallas=True, early_stop=False).run()
+    b = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 130,
+                        use_pallas=False, early_stop=False).run()
+    assert (np.asarray(a.claim) == np.asarray(b.claim)).all()
+    assert np.allclose(np.asarray(a.best_depth),
+                       np.asarray(b.best_depth), atol=1e-6)

@@ -286,10 +286,10 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     if sweep_fn is not None:
         res = sweep_fn(active, dmin_v_u, dmax_v_u, s_hat)
     elif (use_pallas and params.interpolation == "linear" and C in (1, 3)
-            and not with_k and dim_d <= 128):
-        # (dim_d > 128 exceeds the pixel kernel's candidate lane axis:
-        # those configs, e.g. the reference's [240] rows, route to the
-        # dense kernels below, which loop d with u on the lanes)
+            and not with_k and dim_d <= 1024):
+        # (the pixel kernel packs ceil(dim_d/128) candidate lane blocks
+        # per pixel — the reference's [240] rows stay on the fast path;
+        # beyond 1024 candidates the dense kernels below take over)
         # pixel-compacted kernel: cost scales with the ACTIVE pixel
         # count (late passes leave spread-out survivors that keep every
         # 128-lane chunk of the dense kernels alive).  Bounds-edited
@@ -671,7 +671,7 @@ class Depth2DComputer:
         # with plane size; ~135x960 slabs stay in the ~4 s regime).
         pixel_route = (use_pallas_path and C in (1, 3)
                        and self.params.score_version != "line"
-                       and self.dim_d <= 128)
+                       and self.dim_d <= 1024)
         # the dense-row kernel is slab-wired at uniform-bounds levels
         # (line mode's k_best export rides the slab scan carry; it also
         # serves dim_d > 128, which exceeds the pixel kernel's

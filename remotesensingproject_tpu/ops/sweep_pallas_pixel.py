@@ -58,7 +58,7 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                   S: int, U: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
                   iters: int, n_grp: int, dmin: float, dmax: float,
-                  per_pixel: bool, interpret: bool):
+                  per_pixel: bool, interpret: bool, kb: int = 1):
     if per_pixel:
         (bmin_hbm, bmax_hbm, epi_hbm_ref, out_hbm_ref,
          epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
@@ -73,6 +73,10 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
     i = pl.program_id(0)
     S_tot = S + s_pad
     W = BATCH * 128
+    # dim_d > 128: each pixel owns kb 128-lane candidate blocks and the
+    # tile carries PB = BATCH // kb pixels (the reference's [240] rows)
+    PB = BATCH // kb
+    CW = 128 * kb
     a = DTYPE(chan_scale(C) / (h * h))
     s_hat = s_hat_ref[0, 0]
     n_act = nact_ref[i]
@@ -116,7 +120,7 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
             ulist_scr[0, k] = jnp.int32(U)
             return 0
 
-        jax.lax.fori_loop(cnt, ((cnt + BATCH - 1) // BATCH) * BATCH,
+        jax.lax.fori_loop(cnt, ((cnt + PB - 1) // PB) * PB,
                           dump_body, 0)
         if per_pixel:
             cb1.wait()
@@ -127,8 +131,9 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
         if not per_pixel:
             # ---- hoisted (u-independent) shear decomposition --------
             # d candidates tiled across the BATCH blocks
-            dpad = dvec_ref[0:1, :]                        # (1, 128)
-            drow0 = jnp.concatenate([dpad] * BATCH, axis=1)
+            dpad = dvec_ref[0:1, :]                        # (1, CW)
+            drow0 = jnp.concatenate([dpad] * PB, axis=1) \
+                if PB > 1 else dpad
             shift = (s_hat - s_col).astype(DTYPE) * drow0 \
                 * DTYPE(slope_factor)                      # (S_tot, W)
             i0 = jnp.floor(shift)
@@ -138,7 +143,7 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                 + (t_scr[:, :] > 0).astype(jnp.int32)
 
         lane_d = jax.lax.rem(
-            jax.lax.broadcasted_iota(jnp.int32, (1, W), 1), 128)
+            jax.lax.broadcasted_iota(jnp.int32, (1, W), 1), CW)
         is_cand = lane_d < dim_d                           # (1, W)
         s_ok = s_col < S
 
@@ -162,16 +167,16 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                                          DTYPE(np.float32(dmax)))
 
         lane_f = jax.lax.broadcasted_iota(
-            jnp.int32, (1, 128), 1).astype(DTYPE)          # candidate k
-        n_batches = pl.cdiv(n_act, BATCH)
+            jnp.int32, (1, CW), 1).astype(DTYPE)           # candidate k
+        n_batches = pl.cdiv(n_act, PB)
 
         def batch_body(b, _):
-            # ---- gather 8 pixels' (s, d) radiance samples ----------
+            # ---- gather PB pixels' (s, d) radiance samples ----------
             dblk = []
-            for p in range(BATCH):
-                u_r = ulist_scr[0, b * BATCH + p]   # == U on tail slots
+            for p in range(PB):
+                u_r = ulist_scr[0, b * PB + p]      # == U on tail slots
                 u_p = jnp.minimum(u_r, U - 1)        # gather safety
-                blk = pl.ds(p * 128, 128)
+                blk = pl.ds(p * CW, CW)
                 if per_pixel:
                     # the pixel's own candidate grid, with the
                     # reference's float op order (core.hpp:548) and the
@@ -187,33 +192,27 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                             dnum / dden)
                     else:
                         delta = bmin_p + (lane_f * rng_p) / DTYPE(
-                            dim_d - 1)                     # (1, 128)
+                            dim_d - 1)                     # (1, CW)
                     shift_b = (s_hat - s_col).astype(DTYPE) * delta \
-                        * DTYPE(slope_factor)              # (S_tot, 128)
+                        * DTYPE(slope_factor)              # (S_tot, CW)
                     i0f = jnp.floor(shift_b)
                     tb = shift_b - i0f
                     i0b = i0f.astype(jnp.int32)
                     i0_scr[:, blk] = i0b
                     t_scr[:, blk] = tb
                     co_scr[:, blk] = i0b + (tb > 0).astype(jnp.int32)
-                    s_lo, s_hi = span_bounds(bmin_p,
-                                             bmin_p + rng_p)
                 else:
                     delta = dvec_ref[0:1, :]
                     i0b = i0_scr[:, blk]
-                    s_lo, s_hi = sh_min, sh_max
                 dblk.append(delta)
-                start = i0b + (u_p + PAD)                  # (S_tot, 128)
                 base = u_p - jax.lax.rem(u_p, 128)
-                rel0 = start - base
                 for c in range(C):
-                    ga_scr[c, :, blk] = jnp.zeros((S_tot, 128), DTYPE)
-                    gb_scr[c, :, blk] = jnp.zeros((S_tot, 128), DTYPE)
-                idx_lo = s_lo + (u_p + PAD) - base
-                idx_hi = s_hi + (u_p + PAD) - base + 1
+                    ga_scr[c, :, blk] = jnp.zeros((S_tot, CW), DTYPE)
+                    gb_scr[c, :, blk] = jnp.zeros((S_tot, CW), DTYPE)
                 # dynamic fori over EXACTLY the touched 128-lane groups
-                # (g*128 <= idx_hi and idx_lo < (g+1)*128 is an interval
-                # condition, so the active set is the contiguous range
+                # of each candidate sub-block (g*128 <= idx_hi and
+                # idx_lo < (g+1)*128 is an interval condition, so the
+                # active set is the contiguous range
                 # [idx_lo // 128, idx_hi // 128]).  A Python-unrolled
                 # n_grp loop compiles one branch body per (pixel,
                 # group): measured on the v5e, that structural size is
@@ -221,36 +220,62 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                 # pays for — the unrolled level-0 kernel cost 100-280 s
                 # of ONE-TIME compile at first real execution vs ~4 s
                 # for the structurally smaller coarse-level kernels.
-                g_lo = jnp.maximum(jnp.int32(0), idx_lo // 128)
-                g_hi = jnp.minimum(jnp.int32(n_grp - 1), idx_hi // 128)
+                for q in range(kb):
+                    lo_l, hi_l = q * 128, min(dim_d - 1, q * 128 + 127)
+                    if per_pixel:
+                        # this sub-block's candidate range, widened by
+                        # one grid step so the static-fraction formula
+                        # covers the device-computed lane values
+                        f_lo = DTYPE(max(0.0, (lo_l - 1.0))
+                                     / (dim_d - 1))
+                        f_hi = DTYPE(min(float(dim_d - 1), hi_l + 1.0)
+                                     / (dim_d - 1))
+                        s_lo, s_hi = span_bounds(bmin_p + rng_p * f_lo,
+                                                 bmin_p + rng_p * f_hi)
+                    elif kb == 1:
+                        s_lo, s_hi = sh_min, sh_max
+                    else:
+                        step = (np.float32(dmax) - np.float32(dmin)) \
+                            / max(1, dim_d - 1)
+                        s_lo, s_hi = span_bounds(
+                            DTYPE(np.float32(dmin) + (lo_l - 1) * step),
+                            DTYPE(np.float32(dmin) + (hi_l + 1) * step))
+                    sblk = pl.ds(p * CW + q * 128, 128)
+                    idx_lo = s_lo + (u_p + PAD) - base
+                    idx_hi = s_hi + (u_p + PAD) - base + 1
+                    g_lo = jnp.maximum(jnp.int32(0), idx_lo // 128)
+                    g_hi = jnp.minimum(jnp.int32(n_grp - 1),
+                                       idx_hi // 128)
+                    off_s = u_p + PAD - base
 
-                def grp_body(g, _, rel0=rel0, blk=blk, base=base):
-                    rel = rel0 - g * 128
-                    relb = rel + 1
-                    in_a = (rel >= 0) & (rel < 128)
-                    in_b = (relb >= 0) & (relb < 128)
-                    rc = jnp.clip(rel, 0, 127)
-                    rbc = jnp.clip(relb, 0, 127)
-                    # per-channel gather from the same window (the
-                    # shear geometry is channel-independent)
-                    for c in range(C):
-                        src = epi_vmem[c, :,
-                                       pl.ds(pl.multiple_of(
-                                           base + g * 128, 128),
-                                           128)]
-                        va = jnp.take_along_axis(src, rc, axis=1)
-                        vb = jnp.take_along_axis(src, rbc, axis=1)
-                        ga_scr[c, :, blk] = jnp.where(
-                            in_a, va, ga_scr[c, :, blk])
-                        gb_scr[c, :, blk] = jnp.where(
-                            in_b, vb, gb_scr[c, :, blk])
-                    return 0
+                    def grp_body(g, _, sblk=sblk, base=base,
+                                 off_s=off_s):
+                        rel = i0_scr[:, sblk] + (off_s - g * 128)
+                        relb = rel + 1
+                        in_a = (rel >= 0) & (rel < 128)
+                        in_b = (relb >= 0) & (relb < 128)
+                        rc = jnp.clip(rel, 0, 127)
+                        rbc = jnp.clip(relb, 0, 127)
+                        # per-channel gather from the same window (the
+                        # shear geometry is channel-independent)
+                        for c in range(C):
+                            src = epi_vmem[c, :,
+                                           pl.ds(pl.multiple_of(
+                                               base + g * 128, 128),
+                                               128)]
+                            va = jnp.take_along_axis(src, rc, axis=1)
+                            vb = jnp.take_along_axis(src, rbc, axis=1)
+                            ga_scr[c, :, sblk] = jnp.where(
+                                in_a, va, ga_scr[c, :, sblk])
+                            gb_scr[c, :, sblk] = jnp.where(
+                                in_b, vb, gb_scr[c, :, sblk])
+                        return 0
 
-                jax.lax.fori_loop(g_lo, g_hi + 1, grp_body, 0)
+                    jax.lax.fori_loop(g_lo, g_hi + 1, grp_body, 0)
                 # validity: floor >= 0 and ceil <= U-1 at this pixel
                 ok = (u_p >= -i0b) \
                     & (u_p <= (U - 1) - co_scr[:, blk]) & s_ok
-                cand_b = is_cand[:, p * 128:(p + 1) * 128]
+                cand_b = is_cand[:, p * CW:(p + 1) * CW]
                 valid_scr[:, blk] = (ok & cand_b).astype(DTYPE)
 
             t_ = t_scr[:, :]
@@ -313,10 +338,10 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
             score = jnp.where(is_cand, score, -1.0)
 
             # ---- per-pixel lane reductions -> SMEM compact slots ----
-            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-            for p in range(BATCH):
-                lo, hi = p * 128, (p + 1) * 128
-                sc = score[0:1, lo:hi]                      # (1, 128)
+            lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, CW), 1)
+            for p in range(PB):
+                lo, hi = p * CW, (p + 1) * CW
+                sc = score[0:1, lo:hi]                      # (1, CW)
                 best = jnp.max(sc)
                 # FIRST max over the d lanes (reference argmax order)
                 bidx = jnp.min(jnp.where(sc == best, lane128,
@@ -327,7 +352,7 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                 # results land at the TRUE u position (no inverse
                 # permutation outside); tail slots write the dump
                 # column u == U (sliced off by the wrapper)
-                u_w = ulist_scr[0, b * BATCH + p]
+                u_w = ulist_scr[0, b * PB + p]
                 outb_ref[0, u_w] = best
                 outb_ref[1, u_w] = ssum
                 outb_ref[2, u_w] = dbest
@@ -346,7 +371,8 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
                             dim_d: int, s_hat, params: DepthParams,
                             active_v_u=None, padded=None,
                             interpret: bool = False,
-                            dmin_v_u=None, dmax_v_u=None) -> SweepResult:
+                            dmin_v_u=None, dmax_v_u=None,
+                            _force_kb=None) -> SweepResult:
     """Pixel-compacted sweep (C in (1, 3), no k_best).
 
     RGB (C == 3) gathers each channel from the same sheared window and
@@ -398,20 +424,29 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
             + jax.lax.optimization_barrier(num / den))[None, :]
     s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
 
-    dvec = jnp.pad(dvec, ((0, 0), (0, 128 - dim_d)))
+    # dim_d > 128: kb 128-lane candidate blocks per pixel, BATCH // kb
+    # pixels per tile (serves the reference's [240] configs on the
+    # fast path; kb must divide BATCH, so dim_d <= 1024)
+    kb = -(-dim_d // 128) if _force_kb is None else _force_kb
+    while BATCH % kb:
+        kb += 1
+    if kb > BATCH:
+        raise NotImplementedError("dim_d > 1024")
+    dvec = jnp.pad(dvec, ((0, 0), (0, kb * 128 - dim_d)))
     per_pixel = dmin_v_u is not None
     n_grp = gather_window(PAD)
     kernel = functools.partial(
         _pixel_kernel, S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
         slope_factor=params.slope_factor, h=params.kernel_h,
         iters=params.mean_shift_max_iter, n_grp=n_grp,
-        dmin=dmin, dmax=dmax, per_pixel=per_pixel, interpret=interpret)
+        dmin=dmin, dmax=dmax, per_pixel=per_pixel, interpret=interpret,
+        kb=kb)
 
     W = BATCH * 128
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, n: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 128), lambda i, n: (0, 0),
+        pl.BlockSpec((1, 128 * kb), lambda i, n: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # act rows
     ]

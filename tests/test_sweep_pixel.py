@@ -106,3 +106,100 @@ def test_pixel_kernel_per_pixel_bounds(seed, C):
                                np.asarray(want.score_mean)[m], atol=5e-5)
     np.testing.assert_allclose(np.asarray(got.rbar)[m],
                                np.asarray(want.rbar)[m], atol=2e-5)
+
+
+def test_pixel_kernel_dim_d_over_128():
+    """dim_d > 128 packs multiple candidate lane blocks per pixel
+    (kb = ceil(dim_d/128)); results must match the XLA oracle exactly,
+    like the single-block case."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import oracle
+    from remotesensingproject_tpu.config import DepthParams
+    from remotesensingproject_tpu.ops.sweep import sweep_pile
+    from remotesensingproject_tpu.ops.sweep_pallas_pixel import (
+        sweep_pile_pallas_pixel)
+
+    S, V, U, D = 6, 4, 160, 130
+    dmin, dmax = -1.0, 1.5
+    params = DepthParams()
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=1, n_objects=3,
+                                      seed=2, dmin=dmin, dmax=dmax)
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    active = jnp.ones((V, U), bool)
+    got = sweep_pile_pallas_pixel(epis, dmin, dmax, D, S // 2, params,
+                                  active_v_u=active, interpret=True)
+    want = sweep_pile(epis, jnp.full((V, U), dmin),
+                      jnp.full((V, U), dmax), D, S // 2, params)
+    # candidate CHOICES match the oracle exactly here; the scores /
+    # r_bar can differ in the last ulps vs the separately-jitted
+    # oracle (XLA CPU codegen varies per program — same phenomenon as
+    # test_depth2d_pallas), so values gate loosely and the BITWISE
+    # check is kb=2 (auto) vs kb=4 (forced) below
+    assert np.array_equal(np.asarray(got.best_depth),
+                          np.asarray(want.best_depth))
+    assert np.allclose(np.asarray(got.best_score),
+                       np.asarray(want.best_score), atol=1e-3)
+    assert np.allclose(np.asarray(got.rbar), np.asarray(want.rbar),
+                       atol=1e-2)
+    kb4 = sweep_pile_pallas_pixel(epis, dmin, dmax, D, S // 2, params,
+                                  active_v_u=active, interpret=True,
+                                  _force_kb=4)
+    assert np.array_equal(np.asarray(got.best_depth),
+                          np.asarray(kb4.best_depth))
+    assert np.array_equal(np.asarray(got.best_score),
+                          np.asarray(kb4.best_score))
+    assert np.array_equal(np.asarray(got.rbar), np.asarray(kb4.rbar))
+
+
+def test_pixel_kernel_dim_d_over_128_per_pixel_bounds():
+    import numpy as np
+    import jax.numpy as jnp
+
+    import oracle
+    from remotesensingproject_tpu.config import DepthParams
+    from remotesensingproject_tpu.ops.sweep import sweep_pile
+    from remotesensingproject_tpu.ops.sweep_pallas_pixel import (
+        sweep_pile_pallas_pixel)
+
+    S, V, U, D = 6, 4, 160, 140
+    dmin, dmax = -1.0, 1.5
+    params = DepthParams()
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=1, n_objects=3,
+                                      seed=4, dmin=dmin, dmax=dmax)
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    rng = np.random.default_rng(11)
+    center = rng.uniform(dmin, dmax, (V, U)).astype(np.float32)
+    bmin = jnp.asarray(np.clip(center - 0.4, dmin, dmax))
+    bmax = jnp.asarray(np.clip(center + 0.4, dmin, dmax))
+    active = jnp.ones((V, U), bool)
+    got = sweep_pile_pallas_pixel(epis, dmin, dmax, D, S // 2, params,
+                                  active_v_u=active, interpret=True,
+                                  dmin_v_u=bmin, dmax_v_u=bmax)
+    want = sweep_pile(epis, bmin, bmax, D, S // 2, params)
+    # vs the separately-jitted oracle, scores can differ in the last
+    # ulp, which flips a handful of EXACT-TIE argmax picks to the
+    # neighboring candidate (measured: 3/640 at this shape) — bound
+    # the flip rate and step size; the bitwise check is vs the dense
+    # per-pixel Pallas engine below
+    gd, wd = np.asarray(got.best_depth), np.asarray(want.best_depth)
+    step = np.asarray(bmax - bmin) / (D - 1)
+    frac = (gd != wd).mean()
+    assert frac <= 0.02, frac
+    assert (np.abs(gd - wd) <= step * 1.001).all()
+    # ulp-seeded mean-shift trajectory divergence accumulates over the
+    # 10 iterations: value agreement is ~1e-4, choices above
+    assert np.allclose(np.asarray(got.best_score),
+                       np.asarray(want.best_score), atol=1e-3)
+    # the STRONG invariant: the multi-block candidate machinery itself
+    # is bitwise-exact — forcing kb=4 (vs the auto kb=2) must reproduce
+    # the identical outputs (same program family, same op order)
+    kb4 = sweep_pile_pallas_pixel(epis, dmin, dmax, D, S // 2, params,
+                                  active_v_u=active, interpret=True,
+                                  dmin_v_u=bmin, dmax_v_u=bmax,
+                                  _force_kb=4)
+    assert np.array_equal(gd, np.asarray(kb4.best_depth))
+    assert np.array_equal(np.asarray(got.best_score),
+                          np.asarray(kb4.best_score))
+    assert np.array_equal(np.asarray(got.rbar), np.asarray(kb4.rbar))

@@ -270,6 +270,14 @@ def main():
     if os.environ.get("BENCH_COLD_ONLY") == "1":
         warm_s = cold_s
     else:
+        # release the cold run's pyramid BEFORE building the warm one:
+        # `ftc, ... = run_once(...)` would keep the old object (and its
+        # ~GBs of per-level state) alive until the call returns — at
+        # the HR shape the two pyramids together exhaust HBM
+        import gc
+
+        del ftc, fused
+        gc.collect()
         ftc, fused, warm_s = run_once(vol, dmin, dmax, D, use_pallas,
                                       verbose=True, params=params)
         print(f"# warm (steady-state)     {warm_s:.1f}s", file=sys.stderr)

@@ -204,7 +204,7 @@ def propagate_pallas(
     # provably-aligned dynamic slice; padded rows have no sources
     # (tag inf) and claim 0, so they are never painted
     V8 = (-(-V // 32)) * 32
-    Vt = V8 if V8 < 128 else 128
+    Vt = V8 if V8 < 64 else 64
     n_vt = -(-V8 // Vt)
 
     offs_num = depth_f_v_u * DTYPE(slope_factor)

@@ -681,7 +681,11 @@ class Depth2DComputer:
         if self.v_slabs is not None:
             v_slabs = max(1, int(self.v_slabs)) if slab_capable else 1
         elif slab_capable and jax.default_backend() == "tpu":
-            v_slabs = max(1, int(np.ceil(V * U / 150_000.0)))
+            # channel count multiplies the kernel plane bytes/work, so
+            # it scales the deferred first-activation compile the same
+            # way V*U does (measured at the RGB shape: 6 slabs -> 148 s
+            # first chunk, 17 slabs -> 97 s, warm +5 ms/pass)
+            v_slabs = max(1, int(np.ceil(V * U * C / 150_000.0)))
         else:
             v_slabs = 1
         # each slab must cover the median halo window (and stay useful)

@@ -9,10 +9,12 @@ Prints ONE JSON line:
    "quality_rmse_px": ..., "quality_ok": ...}
 
 The pipeline runs TWICE in-process: the first (cold) timing includes
-XLA/Mosaic compilation (amortized across runs by the persistent cache
-in .jax_cache), the second is the warm steady-state.  `value` and
-`vs_baseline` are the WARM throughput — the number that measures the
-engine rather than the compiler (round-2 verdict #1b).
+the platform's DEFERRED first-execution compile of each program (the
+persistent .jax_cache only covers the small client-side step — see
+docs/PERF.md; cold_s is additionally gated to beat the reference
+binary's own runtime for the config).  The second run is the warm
+steady-state; `value` and `vs_baseline` are the WARM throughput — the
+number that measures the engine rather than the compiler.
 
 Baseline: 100 * 540 * 960 px / 448 s = 0.1157 MPix/s end-to-end
 (BASELINE.md).  Sizes can be scaled down with BENCH_SMALL=1 (the value

@@ -1,10 +1,15 @@
-"""Attribute COLD COMPILE time of the level-0 pass pipeline to its
-components: pixel sweep kernel (Mosaic), propagation, selective median,
-and the full _schedule_fn chunk (the static scan around everything).
+"""Attribute CLIENT-SIDE compile time of the level-0 pass pipeline to
+its components: pixel sweep kernel (Mosaic), propagation, selective
+median, and the full _schedule_fn chunk (the static scan around
+everything).
 
-Uses .lower().compile() with NO persistent cache so timings are honest
-cold compiles.  Run on the TPU backend (Mosaic timings are meaningless
-in interpret mode).
+CAVEAT (round-4 finding, docs/PERF.md): on the axon platform,
+.lower().compile() only measures the CLIENT step (~seconds) — the real
+backend compile is DEFERRED to each program's first execution and can
+be 100x larger.  Use a first-vs-second EXECUTION timing (with a true
+np.asarray sync; block_until_ready lies over the tunnel) to measure
+the deferred cost.  These rows are still useful for trace/lowering
+regressions.
 
 Usage: python scripts/bench_compile.py [S V U D]   (default small bench)
 """

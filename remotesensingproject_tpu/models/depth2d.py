@@ -514,6 +514,30 @@ def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     With ``axis_name`` the remaining count is psum'd across the mesh
     (the sharded driver runs its chunks inside shard_map).
     """
+    if jax.default_backend() != "tpu":
+        # Off-TPU the deferred-compile pathology does not exist and the
+        # XLA sweep computes DENSELY regardless of activity, so a
+        # converged tail pass costs a FULL sweep — keep the on-device
+        # early stop here (bit-identical results either way: a pass on
+        # a converged state is an exact no-op).
+        def cond(carry):
+            i, _st, remaining = carry
+            return jnp.logical_and(i < s_hats.shape[0], remaining != 0)
+
+        def wbody(carry):
+            i, st, _ = carry
+            st = _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u,
+                          epis_padded, st, s_hats[i], **kw)
+            remaining = jnp.sum(
+                (st.ce_mask & st.claim).astype(jnp.int32))
+            if axis_name is not None:
+                remaining = jax.lax.psum(remaining, axis_name)
+            return i + 1, st, remaining
+
+        n_done, state, remaining = jax.lax.while_loop(
+            cond, wbody, (jnp.int32(0), state, jnp.int32(-1)))
+        return state, n_done, remaining
+
     def body(st, s_hat):
         st = _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u,
                       epis_padded, st, s_hat, **kw)

@@ -131,7 +131,14 @@ class ShardedDepth2DComputer:
 
         schedule = center_outward_schedule(S)
         t0 = time.time()
-        chunk = 8
+        # off-TPU the whole schedule runs as ONE dispatch with the
+        # on-device early stop (models.depth2d._schedule_fn's non-TPU
+        # branch) — per-chunk dispatch + host sync on the virtual CPU
+        # mesh costs seconds across a level; on TPU, chunked dispatches
+        # avoid both the deferred-compile pathology and the runtime's
+        # execution watchdog
+        chunk = 8 if jax.default_backend() == "tpu" \
+            else len(schedule)
         done = 0
         remaining = -1
         while done < len(schedule):

@@ -161,6 +161,13 @@ def main():
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "SCALING.json")
+    # merge: preserve sections other tools own (e.g. the collective
+    # `model` from scripts/collective_model.py)
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        for k, v in prev.items():
+            out.setdefault(k, v)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")

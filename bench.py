@@ -265,6 +265,14 @@ def main():
         params = dataclasses.replace(
             DEFAULT_PARAMS, score_version=score_version)
         metric += f"_{score_version}"
+    # BENCH_FAST=1: the quality-gated fast mode (mean-shift iteration
+    # cap in the Pallas sweep, DepthParams.fast) — same REF_ANCHOR
+    # delta gate as the exact path decides whether the trade is within
+    # budget on this scene
+    if os.environ.get("BENCH_FAST") == "1":
+        import dataclasses
+        params = dataclasses.replace(params, fast=True)
+        metric += "_fast"
 
     ftc, fused, cold_s = run_once(vol, dmin, dmax, D, use_pallas,
                                   verbose=True, params=params)

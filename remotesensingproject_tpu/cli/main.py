@@ -44,6 +44,26 @@ def _add_depth_args(p):
                    help="run v-sharded over all local devices")
     p.add_argument("--ckpt-dir", default=None,
                    help="checkpoint/resume directory (fine-to-coarse)")
+    p.add_argument("--score", choices=["edge", "disp", "line"],
+                   default="edge",
+                   help="confidence criterion (the reference's "
+                        "_USE_*_CONFIDENCE_SCORE ifdefs)")
+    p.add_argument("--fast", action="store_true",
+                   help="quality-gated fast mode: cap the Pallas "
+                        "sweep's mean-shift iterations at 5 (not "
+                        "bit-exact vs the reference)")
+
+
+def _make_params(args):
+    import dataclasses
+
+    from ..config import DEFAULT_PARAMS
+    p = DEFAULT_PARAMS
+    if getattr(args, "score", "edge") != "edge":
+        p = dataclasses.replace(p, score_version=args.score)
+    if getattr(args, "fast", False):
+        p = dataclasses.replace(p, fast=True)
+    return p
 
 
 def _read_volume(args):
@@ -122,6 +142,7 @@ def cmd_pile(args):
     computer = Depth1DComputerPile(
         epis, args.dmin, args.dmax, args.dim_d, s_hat=args.s_hat,
         epi_scale_factor=args.scale_factor,
+        params=_make_params(args),
         use_pallas=None if not args.no_pallas else False)
     computer.run()
     print(f"pile in {time.time() - t0:.2f}s")
@@ -139,6 +160,7 @@ def cmd_depth2d(args):
     computer = Depth2DComputer(
         epis, args.dmin, args.dmax, args.dim_d,
         epi_scale_factor=args.scale_factor, verbose=True,
+        params=_make_params(args),
         use_pallas=None if not args.no_pallas else False)
     state = computer.run()
     print(f"depth2d in {time.time() - t0:.2f}s")
@@ -167,6 +189,7 @@ def cmd_fine_to_coarse(args):
     ftc = FineToCoarse(
         epis, args.dmin, args.dmax, args.dim_d,
         epi_scale_factor=args.scale_factor, verbose=True,
+        params=_make_params(args),
         use_pallas=None if not args.no_pallas else False, mesh=mesh)
     ftc.run(ckpt_dir=args.ckpt_dir)
     maps = ftc.get_coloured_depth_maps()

@@ -68,6 +68,14 @@ class DepthParams:
     # _USE_LINE_CONFIDENCE_SCORE defined, core.hpp:35-37).
     score_version: Literal["edge", "disp", "line"] = "edge"
 
+    # Fast mode: run the truncated-mean-shift iterations of the Pallas
+    # sweep kernels in bfloat16 (f32 gather / accumulate / score).  Not
+    # bit-exact vs the reference's f32 mean shift (core.hpp:566-610) —
+    # gated instead by the REF_ANCHOR quality margin in bench.py and by
+    # the fast-vs-exact RMSE A/B in scripts/tpu_acceptance.py.  Has no
+    # effect on the XLA (oracle) path.
+    fast: bool = False
+
     def with_slope_factor(self, slope_factor: float) -> "DepthParams":
         return dataclasses.replace(self, slope_factor=slope_factor)
 

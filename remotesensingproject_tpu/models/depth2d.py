@@ -409,15 +409,30 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     # Selective median on the (possibly propagation-painted) s_hat plane,
     # gated by the post-sweep edge mask (core.hpp:877-892).  The filtered
     # values drive propagation but do NOT replace the stored plane.
-    if v_slabs > 1 and median_fn is None:
+    # On the Pallas route the VMEM median kernel replaces the XLA filter
+    # (~50 ms/pass at level 0, scripts/bench_pass.py) — bitwise identical
+    # (tests/test_median_pallas.py + on-chip A/B in ACCEPTANCE_TPU); its
+    # 16-row grid tiles keep the compiled plane small, so it needs no
+    # v-slabbing.
+    if median_fn is not None:
+        filtered = median_fn(depth_new, frame, mask_new,
+                             params.median_filter_size,
+                             params.median_filter_epsilon)
+    elif use_pallas and params.median_filter_size <= 17:
+        # (the kernel's ROW_PAD/lane halo caps the window at 17; the
+        # reference's sizes are 5 and 11, rs_report.tex:388)
+        from ..ops.median_pallas import selective_median_pallas
+        filtered = selective_median_pallas(
+            depth_new, frame, mask_new, params.median_filter_size,
+            params.median_filter_epsilon, interpret=interp)
+    elif v_slabs > 1:
         filtered = _median_slabbed(depth_new, frame, mask_new,
                                    params.median_filter_size,
                                    params.median_filter_epsilon, v_slabs)
     else:
-        med = median_fn if median_fn is not None else selective_median
-        filtered = med(depth_new, frame, mask_new,
-                       params.median_filter_size,
-                       params.median_filter_epsilon)
+        filtered = selective_median(depth_new, frame, mask_new,
+                                    params.median_filter_size,
+                                    params.median_filter_epsilon)
 
     payloads = [(st.best_depth, filtered), (st.disp_conf, conf_new)]
     if params.score_version == "line":
@@ -489,7 +504,8 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
 
 
 def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
-                 state: Depth2DState, s_hats, *, axis_name=None, **kw):
+                 state: Depth2DState, s_hats, *, axis_name=None,
+                 early_stop=True, **kw):
     """Run a STATIC chunk of center-outward passes in one device call.
 
     A lax.scan over the pass index: one dispatch and one host sync per
@@ -519,10 +535,14 @@ def _schedule_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         # XLA sweep computes DENSELY regardless of activity, so a
         # converged tail pass costs a FULL sweep — keep the on-device
         # early stop here (bit-identical results either way: a pass on
-        # a converged state is an exact no-op).
+        # a converged state is an exact no-op).  early_stop=False (a
+        # full-schedule timing semantic) disables the remaining!=0 cut.
         def cond(carry):
             i, _st, remaining = carry
-            return jnp.logical_and(i < s_hats.shape[0], remaining != 0)
+            in_range = i < s_hats.shape[0]
+            if not early_stop:
+                return in_range
+            return jnp.logical_and(in_range, remaining != 0)
 
         def wbody(carry):
             i, st, _ = carry
@@ -720,7 +740,10 @@ class Depth2DComputer:
                   uniform_bounds=not self._bounds_edited,
                   pad_static=pad_static,
                   coarse_mode=self.coarse_mode,
-                  v_slabs=v_slabs)
+                  v_slabs=v_slabs,
+                  # on TPU early stopping is host-side (between chunks);
+                  # off-TPU it gates the on-device while_loop cond
+                  early_stop=self.early_stop)
         schedule = center_outward_schedule(S)
         import time as _time
 
@@ -745,6 +768,7 @@ class Depth2DComputer:
             dmax_arr = self.dmax_s_v_u
         chunk = self.pass_chunk
         done = 0
+        executed = 0
         t_chunk = _time.time()
         while done < len(schedule):
             # full chunks share ONE compiled program; the (shorter)
@@ -752,13 +776,14 @@ class Depth2DComputer:
             # jit wrapper
             part = schedule[done:done + chunk]
             done += len(part)
-            state, _n_done, remaining = fwd(
+            state, n_done, remaining = fwd(
                 self.epis, frames, dmin_arr, dmax_arr,
                 epis_padded, state, jnp.asarray(part, jnp.int32))
             remaining = int(remaining)  # host sync paces the dispatches
+            executed += int(n_done)  # off-TPU early stop can cut a chunk
             if self.verbose:
                 now = _time.time()
-                print(f"passes {done}/{len(schedule)} "
+                print(f"passes {executed}/{len(schedule)} "
                       f"(+{now - t_chunk:.1f}s, "
                       f"remaining px {remaining})")
                 t_chunk = now

@@ -241,11 +241,19 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                             DTYPE(np.float32(dmin) + (lo_l - 1) * step),
                             DTYPE(np.float32(dmin) + (hi_l + 1) * step))
                     sblk = pl.ds(p * CW + q * 128, 128)
-                    idx_lo = s_lo + (u_p + PAD) - base
-                    idx_hi = s_hi + (u_p + PAD) - base + 1
-                    g_lo = jnp.maximum(jnp.int32(0), idx_lo // 128)
+                    # clip the sheared reach to the VALID sample window
+                    # [PAD, PAD + U] (floor >= 0, ceil <= U - 1 in image
+                    # coords): samples outside are masked by validf, so
+                    # skipping their groups is bitwise-free — for
+                    # near-edge pixels this drops up to half the reach
+                    abs_lo = jnp.maximum(s_lo + (u_p + PAD),
+                                         jnp.int32(PAD))
+                    abs_hi = jnp.minimum(s_hi + (u_p + PAD) + 1,
+                                         jnp.int32(PAD + U))
+                    g_lo = jnp.maximum(jnp.int32(0),
+                                       (abs_lo - base) // 128)
                     g_hi = jnp.minimum(jnp.int32(n_grp - 1),
-                                       idx_hi // 128)
+                                       (abs_hi - base) // 128)
                     off_s = u_p + PAD - base
 
                     def grp_body(g, _, sblk=sblk, base=base,
@@ -300,12 +308,28 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
             # K(r - r_bar) = max(1 - a * sum_c diff_c^2, 0): the channel
             # sum generalizes the 1-ch x3 scaling (chan_scale in `a`;
             # src/rslf_kernels.cpp:40-54 for the 3-ch reduce).
+            #
+            # Masked samples enter the iteration as +inf, so the kernel
+            # weight collapses to +0 arithmetically (max(-inf, 0)) —
+            # BITWISE identical to the * validf of the jnp oracle while
+            # saving one (S_tot, W) multiply per iteration; r_pos is 0
+            # at masked lanes, so inf never reaches the numerator.
+            #
+            # (A bfloat16 fast path was implemented and MEASURED SLOWER
+            # on the v5e — its VPU has no native bf16 elementwise rate
+            # advantage and even bf16 vector compares fail to lower, so
+            # every op pays conversions.  DepthParams.fast instead caps
+            # the mean-shift iterations — see the wrapper.)
+            rf = [jnp.where(validf > 0, r0[c], DTYPE(jnp.inf))
+                  for c in range(C)]
+
             def ms_iter(rbar_t):
                 dsq = None
                 for c in range(C):
-                    diff = r0[c] - rbar_t[c]
-                    dsq = diff * diff if dsq is None else dsq + diff * diff
-                k = jnp.maximum(1.0 - a * dsq, 0.0) * validf
+                    diff = rf[c] - rbar_t[c]
+                    dsq = diff * diff if dsq is None \
+                        else dsq + diff * diff
+                k = jnp.maximum(1.0 - a * dsq, 0.0)
                 sum_k = jnp.sum(k, axis=0, keepdims=True)
                 new_rbar = tuple(
                     jnp.where(sum_k > 0,
@@ -435,10 +459,16 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     dvec = jnp.pad(dvec, ((0, 0), (0, kb * 128 - dim_d)))
     per_pixel = dmin_v_u is not None
     n_grp = gather_window(PAD)
+    # fast mode: cap the truncated mean shift at 5 iterations (the
+    # reference's fixed 10, core.hpp:16; convergence typically lands
+    # at ~6) — quality-gated via the REF_ANCHOR margin, not bit-exact
+    iters = params.mean_shift_max_iter
+    if getattr(params, "fast", False):
+        iters = min(iters, 5)
     kernel = functools.partial(
         _pixel_kernel, S=S, U=U, C=C, PAD=PAD, dim_d=dim_d, s_pad=s_pad,
         slope_factor=params.slope_factor, h=params.kernel_h,
-        iters=params.mean_shift_max_iter, n_grp=n_grp,
+        iters=iters, n_grp=n_grp,
         dmin=dmin, dmax=dmax, per_pixel=per_pixel, interpret=interpret,
         kb=kb)
 

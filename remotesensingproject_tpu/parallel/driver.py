@@ -77,6 +77,17 @@ class ShardedDepth2DComputer:
     def set_accept_all(self, accept_all: bool):
         self.accept_all = accept_all
 
+    def rebuild_bounds(self):
+        """Reset the eager per-shard bound arrays to the ctor scalars
+        (used when a scalar-bounds checkpoint is loaded into a computer
+        whose bounds were previously edited)."""
+        V, S, U, C = self.epis.shape
+        self.dmin_s_v_u = shard_planes(
+            jnp.full((S, V, U), self.dmin, DTYPE), self.mesh)
+        self.dmax_s_v_u = shard_planes(
+            jnp.full((S, V, U), self.dmax, DTYPE), self.mesh)
+        self._bounds_edited = False
+
     def set_bounds(self, dmin_s_v_u, dmax_s_v_u):
         pad_v = self.epis.shape[0] - dmin_s_v_u.shape[1]
         if pad_v:
@@ -127,7 +138,8 @@ class ShardedDepth2DComputer:
             use_pallas=self.use_pallas,
             uniform_bounds=not self._bounds_edited,
             pad_static=pad_static,
-            coarse_mode=self.coarse_mode)
+            coarse_mode=self.coarse_mode,
+            early_stop=self.early_stop)
 
         schedule = center_outward_schedule(S)
         t0 = time.time()

@@ -89,7 +89,8 @@ def sharded_schedule(mesh: Mesh, dim_d: int, params: DepthParams,
                      use_pallas: bool = False,
                      uniform_bounds: bool = True,
                      pad_static=None,
-                     coarse_mode: str = "tile"):
+                     coarse_mode: str = "tile",
+                     early_stop: bool = True):
     """Build the jitted shard_map'd pass-CHUNK runner.
 
     Runs the single-device driver's exact pass logic
@@ -116,7 +117,7 @@ def sharded_schedule(mesh: Mesh, dim_d: int, params: DepthParams,
         _schedule_fn, dim_d=dim_d, params=params, d_bounds=d_bounds,
         use_pallas=use_pallas, uniform_bounds=uniform_bounds,
         pad_static=pad_static, coarse_mode=coarse_mode,
-        median_fn=median_fn, axis_name=V_AXIS)
+        median_fn=median_fn, axis_name=V_AXIS, early_stop=early_stop)
 
     vs = P(V_AXIS, None, None, None)          # epis [V, S, U, C]
     sv = P(None, V_AXIS, None)                # [S, V, U]

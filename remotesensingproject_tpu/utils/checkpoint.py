@@ -70,9 +70,19 @@ def load_level(path_dir: str, level: int, computer) -> bool:
     if "dmin" in z.files:
         computer.set_bounds(jnp.asarray(z["dmin"]), jnp.asarray(z["dmax"]))
     else:
-        # uniform-bounds level: keep the arrays lazy (ctor scalars)
+        # uniform-bounds level: keep the arrays lazy (ctor scalars) —
+        # and RESET any previously edited/materialized bound state so a
+        # scalar checkpoint loaded into a reused computer doesn't leave
+        # stale arrays or a wrong uniform_bounds flag
         computer.dmin = float(z["dmin_scalar"])
         computer.dmax = float(z["dmax_scalar"])
+        if hasattr(computer, "rebuild_bounds"):
+            # sharded driver keeps eagerly built per-shard bound arrays
+            computer.rebuild_bounds()
+        else:
+            computer._dmin_arr = None
+            computer._dmax_arr = None
+            computer._bounds_edited = False
     computer.accept_all = bool(z["accept_all"])
     return True
 

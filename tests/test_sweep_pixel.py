@@ -203,3 +203,42 @@ def test_pixel_kernel_dim_d_over_128_per_pixel_bounds():
     assert np.array_equal(np.asarray(got.best_score),
                           np.asarray(kb4.best_score))
     assert np.array_equal(np.asarray(got.rbar), np.asarray(kb4.rbar))
+
+
+def test_fast_mode_iteration_cap_close_to_exact():
+    """DepthParams.fast caps the mean shift at 5 iterations (vs the
+    reference's 10, core.hpp:16): quality-gated, NOT bit-exact — most
+    pixels converge within 5 iterations, so the argmax picks mostly
+    agree and disagreements stay on the candidate grid."""
+    import dataclasses
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    import oracle
+    from remotesensingproject_tpu.config import DepthParams
+    from remotesensingproject_tpu.ops.sweep_pallas_pixel import (
+        sweep_pile_pallas_pixel)
+
+    S, V, U, D = 12, 6, 96, 24
+    dmin, dmax = -1.0, 1.5
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=1, n_objects=3,
+                                      seed=11, dmin=dmin, dmax=dmax)
+    epis = jnp.asarray(vol / vol.max())
+    active = jnp.ones((V, U), bool)
+    params = DepthParams(slope_factor=1.0)
+    exact = sweep_pile_pallas_pixel(epis, dmin, dmax, D, S // 2, params,
+                                    active_v_u=active, interpret=True)
+    fast = sweep_pile_pallas_pixel(
+        epis, dmin, dmax, D, S // 2,
+        dataclasses.replace(params, fast=True),
+        active_v_u=active, interpret=True)
+    ed = np.asarray(exact.best_depth)
+    fd = np.asarray(fast.best_depth)
+    assert np.isfinite(fd).all()
+    # candidate grid membership: every fast pick is a real candidate
+    grid = np.float32(dmin) + np.arange(D, dtype=np.float32) * \
+        np.float32(np.float32(dmax) - np.float32(dmin)) / np.float32(D - 1)
+    assert np.isin(fd.round(5), grid.round(5)).all()
+    # the vast majority of pixels converge within the cap
+    assert (ed == fd).mean() > 0.9, (ed == fd).mean()

@@ -238,10 +238,10 @@ def test_edge_confidence_opening_in_pipeline(rng):
         assert (np.asarray(m3)[:, s] == (ref > 0)).all()
 
 
-def test_dim_d_over_128_routes_to_dense_kernel():
-    """dim_d > 128 exceeds the pixel kernel's candidate lane axis (the
-    reference's [240] rows); the driver must route those to the dense
-    kernels and still match the XLA oracle path."""
+def test_dim_d_over_128_pixel_multi_lane_block_route():
+    """dim_d in (128, 1024] rides the PIXEL kernel with kb > 1 candidate
+    lane blocks per pixel (the reference's [240] rows); the driver's
+    route must still match the XLA oracle path."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -257,3 +257,30 @@ def test_dim_d_over_128_routes_to_dense_kernel():
     assert (np.asarray(a.claim) == np.asarray(b.claim)).all()
     assert np.allclose(np.asarray(a.best_depth),
                        np.asarray(b.best_depth), atol=1e-6)
+
+
+def test_dim_d_over_1024_routes_to_dense_kernel():
+    """dim_d > 1024 exceeds the pixel kernel's kb <= BATCH packing; the
+    driver must fall back to the dense-row kernel and still match the
+    XLA oracle path."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import oracle
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+
+    vol, _ = oracle.make_synthetic_lf(S=3, V=4, U=32, C=1, n_objects=2,
+                                      seed=4, dmin=-0.5, dmax=1.0)
+    a = Depth2DComputer(jnp.asarray(vol), -0.5, 1.0, 1030,
+                        use_pallas=True, early_stop=False).run()
+    b = Depth2DComputer(jnp.asarray(vol), -0.5, 1.0, 1030,
+                        use_pallas=False, early_stop=False).run()
+    assert (np.asarray(a.claim) == np.asarray(b.claim)).all()
+    # at D=1030 the grid step (~0.0015) sits inside the dense kernel's
+    # last-ulp score jitter vs the jnp oracle, flipping a few EXACT-TIE
+    # argmax picks to the neighboring candidate — bound flip rate and
+    # step size (the same tolerance the per-pixel kernel tests use)
+    ad, bd = np.asarray(a.best_depth), np.asarray(b.best_depth)
+    step = 1.5 / 1029
+    assert (ad != bd).mean() <= 0.02, (ad != bd).mean()
+    assert (np.abs(ad - bd) <= step * 1.001).all()

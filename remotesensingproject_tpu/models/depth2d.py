@@ -286,7 +286,7 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
     if sweep_fn is not None:
         res = sweep_fn(active, dmin_v_u, dmax_v_u, s_hat)
     elif (use_pallas and params.interpolation == "linear" and C in (1, 3)
-            and not with_k and dim_d <= 1024):
+            and dim_d <= 1024):
         # (the pixel kernel packs ceil(dim_d/128) candidate lane blocks
         # per pixel — the reference's [240] rows stay on the fast path;
         # beyond 1024 candidates the dense kernels below take over)
@@ -294,20 +294,23 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         # count (late passes leave spread-out survivors that keep every
         # 128-lane chunk of the dense kernels alive).  Bounds-edited
         # levels pass the per-pixel grids — the reference's EXACT
-        # semantics (no tile quantization).
+        # semantics (no tile quantization).  Line mode exports k_best
+        # from the same kernel (with_k_best) — it no longer forces the
+        # dense-row kernel (round-4 verdict #3).
         from ..ops.sweep_pallas_pixel import sweep_pile_pallas_pixel
 
         def run_sweep(ep_s, act_s, pad_s, dmin_s, dmax_s):
             return sweep_pile_pallas_pixel(
                 ep_s, d_bounds[0], d_bounds[1], dim_d, s_hat, params,
                 active_v_u=act_s, padded=pad_s, interpret=interp,
-                dmin_v_u=dmin_s, dmax_v_u=dmax_s)
+                dmin_v_u=dmin_s, dmax_v_u=dmax_s, with_k_best=with_k)
 
         if v_slabs > 1:
             res = _sweep_slabbed(
                 run_sweep, epis, active, padded,
                 None if uniform_bounds else dmin_v_u,
-                None if uniform_bounds else dmax_v_u, v_slabs)
+                None if uniform_bounds else dmax_v_u, v_slabs,
+                with_k=with_k)
         else:
             res = run_sweep(epis, active, padded,
                             None if uniform_bounds else dmin_v_u,
@@ -714,7 +717,6 @@ class Depth2DComputer:
         # deferred first-execution compile explodes super-linearly
         # with plane size; ~135x960 slabs stay in the ~4 s regime).
         pixel_route = (use_pallas_path and C in (1, 3)
-                       and self.params.score_version != "line"
                        and self.dim_d <= 1024)
         # the dense-row kernel is slab-wired at uniform-bounds levels
         # (line mode's k_best export rides the slab scan carry; it also

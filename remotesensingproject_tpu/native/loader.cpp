@@ -7,7 +7,8 @@
 //
 // Formats: classic little-endian TIFF (uncompressed or LZW; u8/u16/f32,
 // 1 or 3 samples — covers the bundled Skysat data), PNG via libpng
-// (gray8/16, rgb8), and PGM/PPM (binary).  Values are returned RAW
+// (gray8/16, rgb8), JPEG via libjpeg (gray/RGB — the Mansion RGB
+// sequences are .jpg), and PGM/PPM (binary).  Values are returned RAW
 // (e.g. u8 stays 0..255) with a dtype code so the Python side preserves
 // the reference's normalization semantics (u8 -> /255, float -> /max).
 //
@@ -26,6 +27,10 @@
 #include <vector>
 
 #include <png.h>
+
+#include <csetjmp>
+#include <cstdio>  // jpeglib.h needs FILE
+#include <jpeglib.h>
 
 namespace {
 
@@ -282,6 +287,58 @@ Image decode_png(const std::vector<uint8_t>& buf) {
   return img;
 }
 
+// ------------------------------------------------------------------ JPEG
+// Baseline/progressive JPEG via libjpeg (the Mansion RGB sequences are
+// .jpg — cv::imread in the reference wraps the same library;
+// tests/test_build_row_epi_mansion_resized.cpp:24).
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr*>(cinfo->err)->jb, 1);
+}
+
+Image decode_jpeg(const std::vector<uint8_t>& buf) {
+  Image img;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return img;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, buf.data(), buf.size());
+  jpeg_read_header(&cinfo, TRUE);
+  // grayscale stays 1-ch; everything else (YCbCr, CMYK...) -> RGB,
+  // matching cv::imread's channel semantics (the Python side flips
+  // nothing: the repo is RGB-ordered throughout)
+  cinfo.out_color_space =
+      cinfo.jpeg_color_space == JCS_GRAYSCALE ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  int w = cinfo.output_width, h = cinfo.output_height;
+  int c = cinfo.output_components;
+  img.h = h;
+  img.w = w;
+  img.c = c;
+  img.dtype = 0;  // JPEG is 8-bit
+  img.data.resize(size_t(h) * w * c);
+  std::vector<uint8_t> row(size_t(w) * c);
+  JSAMPROW rp = row.data();
+  for (int y = 0; y < h; y++) {
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    float* dst = &img.data[size_t(y) * w * c];
+    for (size_t i = 0; i < row.size(); i++) dst[i] = row[i];
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  img.ok = true;
+  return img;
+}
+
 // ------------------------------------------------------------------- PNM
 Image decode_pnm(const std::vector<uint8_t>& buf) {
   Image img;
@@ -325,6 +382,7 @@ Image decode_any(const std::string& path) {
   if ((buf[0] == 'I' && buf[1] == 'I') || (buf[0] == 'M' && buf[1] == 'M'))
     return decode_tiff(buf);
   if (buf[0] == 0x89 && buf[1] == 'P') return decode_png(buf);
+  if (buf[0] == 0xFF && buf[1] == 0xD8) return decode_jpeg(buf);
   if (buf[0] == 'P') return decode_pnm(buf);
   return Image{};
 }

@@ -32,8 +32,11 @@ Per row v (one grid step):
 * the wrapper scatters compact slots back to u positions with the
   inverse permutation (double argsort + take_along_axis).
 
-score_version="line" (k_best export) uses the dense kernel instead —
-its [S, U] kernel-matrix export has no compact layout.
+score_version="line" (k_best export) also rides this kernel: the
+winning candidate's K(r - rbar) column is extracted with an MXU
+one-hot contraction and stored per pixel into a (Upad, S) export
+plane (``with_k_best=True``), so line mode keeps the
+activity-proportional cost.
 """
 
 from __future__ import annotations
@@ -58,18 +61,22 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                   S: int, U: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
                   iters: int, n_grp: int, dmin: float, dmax: float,
-                  per_pixel: bool, interpret: bool, kb: int = 1):
+                  per_pixel: bool, interpret: bool, kb: int = 1,
+                  with_k: bool = False):
+    rest = list(rest)
     if per_pixel:
-        (bmin_hbm, bmax_hbm, epi_hbm_ref, out_hbm_ref,
-         epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
-         ga_scr, gb_scr, outb_ref, ulist_scr, act_scr,
-         bmin_scr, bmax_scr, sem_in, sem_act, sem_out) = rest
+        bmin_hbm, bmax_hbm = rest.pop(0), rest.pop(0)
     else:
         bmin_hbm = bmax_hbm = bmin_scr = bmax_scr = None
-        (epi_hbm_ref, out_hbm_ref,
-         epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
-         ga_scr, gb_scr, outb_ref, ulist_scr, act_scr,
-         sem_in, sem_act, sem_out) = rest
+    epi_hbm_ref, out_hbm_ref = rest.pop(0), rest.pop(0)
+    kb_hbm_ref = rest.pop(0) if with_k else None
+    (epi_vmem, i0_scr, t_scr, co_scr, valid_scr,
+     ga_scr, gb_scr, outb_ref, ulist_scr, act_scr) = rest[:10]
+    rest = rest[10:]
+    if per_pixel:
+        bmin_scr, bmax_scr = rest.pop(0), rest.pop(0)
+    kb_vmem = rest.pop(0) if with_k else None
+    sem_in, sem_act, sem_out = rest
     i = pl.program_id(0)
     S_tot = S + s_pad
     W = BATCH * 128
@@ -383,12 +390,29 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                 for c in range(C):
                     outb_ref[3 + c, u_w] = jnp.sum(
                         rbar_d[c][0:1, lo:hi] * onehot)
+                if with_k:
+                    # K(r - rbar) column at the winning candidate (the
+                    # line-confidence export, core.hpp:645-651): an
+                    # MXU one-hot contraction over the d lanes — exact
+                    # (0/1 weights, single non-zero per row) — lands
+                    # the column as a (1, S_tot) ROW, stored at
+                    # sublane u_w of the (Upad, S) export plane
+                    kcol = jax.lax.dot_general(
+                        onehot, k_last[:, lo:hi],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=DTYPE)   # (1, S_tot)
+                    kb_vmem[pl.ds(u_w, 1), 0:S_tot] = kcol
             return 0
 
         jax.lax.fori_loop(0, n_batches, batch_body, 0)
         co = pltpu.make_async_copy(outb_ref, out_hbm_ref.at[i], sem_out)
         co.start()
         co.wait()
+        if with_k:
+            ck = pltpu.make_async_copy(kb_vmem, kb_hbm_ref.at[i],
+                                       sem_out)
+            ck.start()
+            ck.wait()
 
 
 def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
@@ -396,8 +420,9 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
                             active_v_u=None, padded=None,
                             interpret: bool = False,
                             dmin_v_u=None, dmax_v_u=None,
+                            with_k_best: bool = False,
                             _force_kb=None) -> SweepResult:
-    """Pixel-compacted sweep (C in (1, 3), no k_best).
+    """Pixel-compacted sweep (C in (1, 3)).
 
     RGB (C == 3) gathers each channel from the same sheared window and
     runs the mean shift with the channel-summed bandwidth kernel
@@ -408,6 +433,13 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     ``active_v_u``: [V, U] bool — pixels to sweep (required; the point
     of this kernel).  Outputs at inactive pixels are garbage, exactly
     like the dense kernel's inactive chunks.
+
+    ``with_k_best``: export the winning candidate's K(r - rbar) column
+    (the line-confidence input, core.hpp:645-651) — an MXU one-hot
+    contraction per pixel into a per-row (Upad, S) plane, so
+    score_version="line" rides THIS kernel's activity-proportional
+    cost instead of the dense-row kernel.  k_best at inactive pixels
+    is garbage (stale scratch), exactly like the other outputs.
 
     ``dmin_v_u``/``dmax_v_u``: optional [V, U] PER-PIXEL grid bounds
     (the bounds-edited pyramid levels, rslf_fine_to_coarse.hpp:202-294)
@@ -470,7 +502,7 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
         slope_factor=params.slope_factor, h=params.kernel_h,
         iters=iters, n_grp=n_grp,
         dmin=dmin, dmax=dmax, per_pixel=per_pixel, interpret=interpret,
-        kb=kb)
+        kb=kb, with_k=with_k_best)
 
     W = BATCH * 128
     in_specs = [
@@ -490,11 +522,13 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
         operands += [padb(dmin_v_u), padb(dmax_v_u)]
     in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # epi volume
     operands.append(epi_pad)
+    SL = _round_up(S_tot, 128)       # k_best export lane width
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,                     # n_act
         grid=(V,),
         in_specs=in_specs,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * \
+            (2 if with_k_best else 1),
         scratch_shapes=[
             pltpu.VMEM((C, S_tot, U_tot), DTYPE),     # epi row
             pltpu.VMEM((S_tot, W), jnp.int32),        # i0
@@ -509,28 +543,38 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
             pltpu.SMEM((_round_up(3 + C, 4), Upad), DTYPE),  # out row
             pltpu.SMEM((1, Upad), jnp.int32),         # compacted u list
             pltpu.SMEM((1, Upad), jnp.int32),         # active-mask row
-        ] + ([pltpu.SMEM((1, Upad), DTYPE)] * 2 if per_pixel else []) + [
+        ] + ([pltpu.SMEM((1, Upad), DTYPE)] * 2 if per_pixel else [])
+        + ([pltpu.VMEM((Upad, SL), DTYPE)] if with_k_best else []) + [
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
 
-    out = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((V, _round_up(3 + C, 4), Upad),
+                                       DTYPE)]
+    if with_k_best:
+        out_shapes.append(jax.ShapeDtypeStruct((V, Upad, SL), DTYPE))
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((V, _round_up(3 + C, 4), Upad),
-                                        DTYPE)],
+        out_shape=out_shapes,
         interpret=interpret,
-    )(n_act, *operands)[0]
+    )(n_act, *operands)
+    out = outs[0]
 
     def back(r):
         return out[:, r, :U]
 
+    if with_k_best:
+        # [V, Upad(u), SL(s)] -> [V, S, U]
+        k_best = jnp.transpose(outs[1][:, :U, :S], (0, 2, 1))
+    else:
+        k_best = jnp.zeros((V, S, U), DTYPE)
     return SweepResult(
         best_score=back(0),
         score_mean=back(1) / DTYPE(dim_d),
         best_depth=back(2),
         rbar=jnp.stack([back(3 + c) for c in range(C)], axis=-1),
-        k_best=jnp.zeros((V, S, U), DTYPE),
+        k_best=k_best,
     )

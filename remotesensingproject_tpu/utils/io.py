@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 import re
+import warnings
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -82,6 +83,11 @@ def read_imgs_from_folder(path_to_folder: str, extension: str,
         raise FileNotFoundError(
             f"no *.{extension} files in {path_to_folder}")
     if use_native:
+        # LOUD fallback: on a 100-frame HR stack the difference between
+        # the threaded native decoder and per-file PIL is the difference
+        # between ingest hiding inside compile time and ingest being a
+        # visible serial stage — a silently broken .so must not degrade
+        # quietly (round-4 verdict #8)
         try:
             from ..native import loader as native_loader
             stack = native_loader.read_stack(
@@ -92,8 +98,17 @@ def read_imgs_from_folder(path_to_folder: str, extension: str,
                 if rotate_180:
                     stack = stack[:, ::-1, ::-1].copy()
                 return stack
-        except Exception:
-            pass
+            warnings.warn(
+                "native loader could not decode "
+                f"*.{extension} in {path_to_folder} (unsupported format "
+                "or corrupt first frame); falling back to single-threaded "
+                "PIL ingest", RuntimeWarning, stacklevel=2)
+        except Exception as e:
+            warnings.warn(
+                f"native loader unavailable ({type(e).__name__}: {e}); "
+                "falling back to single-threaded PIL ingest — run "
+                "`make -C remotesensingproject_tpu/native` to build it",
+                RuntimeWarning, stacklevel=2)
     frames = [read_img_from_file(path_to_folder, n, extension, grayscale,
                                  transpose, rotate_180) for n in names]
     stack = np.stack(frames)

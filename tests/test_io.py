@@ -72,3 +72,62 @@ def test_native_loader_reference_lzw_tiff():
         assert out is not None and out.dtype == np.float32
         ref = np.array(Image.open(f"{d}/000.tif"))
         assert np.array_equal(out[0, ..., 0], ref)
+
+
+def test_native_loader_jpeg_matches_pil(tmp_path):
+    """JPEG ingest (the Mansion RGB format,
+    tests/test_build_row_epi_mansion_resized.cpp:24) decodes natively;
+    both paths wrap libjpeg, so the decoded pixels are identical."""
+    from PIL import Image
+
+    from remotesensingproject_tpu.native import loader
+    if loader._load() is None:
+        pytest.skip("native loader not built")
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 255, (24, 32, 3), dtype=np.uint8)
+    for s in range(4):
+        Image.fromarray(np.roll(base, s, axis=1), "RGB").save(
+            tmp_path / f"f{s:02d}.jpg", quality=92)
+    names = io.list_images(str(tmp_path), "jpg")
+    assert len(names) == 4
+    native = loader.read_stack(str(tmp_path), names, "jpg")
+    assert native is not None and native.dtype == np.uint8
+    pil = np.stack([io.read_img_from_file(str(tmp_path), n, "jpg")
+                    for n in names])
+    assert native.shape == pil.shape == (4, 24, 32, 3)
+    assert np.array_equal(native, pil)
+
+
+def test_native_loader_jpeg_grayscale(tmp_path):
+    from PIL import Image
+
+    from remotesensingproject_tpu.native import loader
+    if loader._load() is None:
+        pytest.skip("native loader not built")
+    rng = np.random.default_rng(4)
+    a = rng.integers(0, 255, (16, 20), dtype=np.uint8)
+    Image.fromarray(a, "L").save(tmp_path / "g00.jpg", quality=95)
+    out = loader.read_stack(str(tmp_path), ["g00"], "jpg")
+    assert out is not None and out.shape == (1, 16, 20, 1)
+    pil = np.array(Image.open(tmp_path / "g00.jpg"))
+    assert np.array_equal(out[0, ..., 0], pil)
+
+
+def test_pil_fallback_warns_loudly(tmp_path, monkeypatch):
+    """A broken native loader must degrade LOUDLY (round-4 verdict #8)."""
+    import warnings as _w
+
+    from PIL import Image
+
+    from remotesensingproject_tpu.native import loader as nl
+    Image.fromarray(np.zeros((8, 8), np.uint8), "L").save(
+        tmp_path / "a.png")
+    monkeypatch.setattr(nl, "read_stack",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            OSError("simulated broken .so")))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        stack = io.read_imgs_from_folder(str(tmp_path), "png")
+    assert stack.shape == (1, 8, 8, 1)
+    assert any("falling back to single-threaded PIL" in str(w.message)
+               for w in rec), [str(w.message) for w in rec]

@@ -284,3 +284,48 @@ def test_dim_d_over_1024_routes_to_dense_kernel():
     step = 1.5 / 1029
     assert (ad != bd).mean() <= 0.02, (ad != bd).mean()
     assert (np.abs(ad - bd) <= step * 1.001).all()
+
+
+def test_line_mode_pixel_kernel_matches_xla():
+    """score_version="line" now rides the pixel-compacted kernel
+    (with_k_best export, round-4 verdict #3): the full Pallas pipeline
+    must match the XLA path, including the line-confidence planes."""
+    import jax.numpy as jnp
+
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+
+    vol, _ = oracle.make_synthetic_lf(S=6, V=8, U=48, C=1, n_objects=3,
+                                      seed=2, dmin=-1.0, dmax=1.5)
+    params = DepthParams(score_version="line")
+    a = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 7, params=params,
+                        use_pallas=True, early_stop=False).run()
+    b = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 7, params=params,
+                        use_pallas=False, early_stop=False).run()
+    assert (np.asarray(a.claim) == np.asarray(b.claim)).all()
+    np.testing.assert_allclose(np.asarray(a.line_conf),
+                               np.asarray(b.line_conf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.best_depth),
+                               np.asarray(b.best_depth), atol=1e-6)
+
+
+def test_line_mode_pixel_kernel_matches_xla_slabbed():
+    """line mode through the v-slab scan (the production level-0 route)
+    must carry k_best through the slab machinery identically."""
+    import jax.numpy as jnp
+
+    from remotesensingproject_tpu.models.depth2d import Depth2DComputer
+
+    vol, _ = oracle.make_synthetic_lf(S=6, V=32, U=48, C=1, n_objects=3,
+                                      seed=6, dmin=-1.0, dmax=1.5)
+    params = DepthParams(score_version="line")
+    a = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 7, params=params,
+                        use_pallas=True, early_stop=False,
+                        v_slabs=2).run()
+    b = Depth2DComputer(jnp.asarray(vol), -1.0, 1.5, 7, params=params,
+                        use_pallas=True, early_stop=False,
+                        v_slabs=1).run()
+    assert (np.asarray(a.claim) == np.asarray(b.claim)).all()
+    assert np.array_equal(np.asarray(a.line_conf),
+                          np.asarray(b.line_conf))
+    assert np.array_equal(np.asarray(a.best_depth),
+                          np.asarray(b.best_depth))

@@ -57,7 +57,8 @@ from .sweep_pallas import _round_up, gather_window, prepare_padded_epis
 BATCH = 8  # pixels per tile (one 128-lane block each)
 
 
-def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
+def _pixel_kernel(nact_ref, s_hat_ref, uval_ref, dvec_ref, act_ref,
+                  *rest,
                   S: int, U: int, C: int, PAD: int, dim_d: int,
                   s_pad: int, slope_factor: float, h: float,
                   iters: int, n_grp: int, dmin: float, dmax: float,
@@ -86,6 +87,11 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
     CW = 128 * kb
     a = DTYPE(chan_scale(C) / (h * h))
     s_hat = s_hat_ref[0, 0]
+    # sample-validity window in LOCAL u coordinates ([0, U-1] for a
+    # whole row; the global image bounds for a u-haloed shard block —
+    # can extend beyond the block into the materialized halo)
+    u_lo = uval_ref[0, 0]
+    u_hi = uval_ref[0, 1]
     n_act = nact_ref[i]
 
     @pl.when(n_act > 0)
@@ -249,14 +255,15 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                             DTYPE(np.float32(dmin) + (hi_l + 1) * step))
                     sblk = pl.ds(p * CW + q * 128, 128)
                     # clip the sheared reach to the VALID sample window
-                    # [PAD, PAD + U] (floor >= 0, ceil <= U - 1 in image
-                    # coords): samples outside are masked by validf, so
-                    # skipping their groups is bitwise-free — for
-                    # near-edge pixels this drops up to half the reach
+                    # [PAD + u_lo, PAD + u_hi + 1] (floor >= u_lo, ceil
+                    # <= u_hi in local coords): samples outside are
+                    # masked by validf, so skipping their groups is
+                    # bitwise-free — for near-edge pixels this drops up
+                    # to half the reach
                     abs_lo = jnp.maximum(s_lo + (u_p + PAD),
-                                         jnp.int32(PAD))
+                                         PAD + u_lo)
                     abs_hi = jnp.minimum(s_hi + (u_p + PAD) + 1,
-                                         jnp.int32(PAD + U))
+                                         PAD + u_hi + 1)
                     g_lo = jnp.maximum(jnp.int32(0),
                                        (abs_lo - base) // 128)
                     g_hi = jnp.minimum(jnp.int32(n_grp - 1),
@@ -287,9 +294,10 @@ def _pixel_kernel(nact_ref, s_hat_ref, dvec_ref, act_ref, *rest,
                         return 0
 
                     jax.lax.fori_loop(g_lo, g_hi + 1, grp_body, 0)
-                # validity: floor >= 0 and ceil <= U-1 at this pixel
-                ok = (u_p >= -i0b) \
-                    & (u_p <= (U - 1) - co_scr[:, blk]) & s_ok
+                # validity: floor >= u_lo and ceil <= u_hi at this
+                # pixel (u_lo/u_hi default to the 0 / U-1 image edges)
+                ok = (u_p + i0b >= u_lo) \
+                    & (u_p + co_scr[:, blk] <= u_hi) & s_ok
                 cand_b = is_cand[:, p * CW:(p + 1) * CW]
                 valid_scr[:, blk] = (ok & cand_b).astype(DTYPE)
 
@@ -421,6 +429,7 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
                             interpret: bool = False,
                             dmin_v_u=None, dmax_v_u=None,
                             with_k_best: bool = False,
+                            u_valid=None,
                             _force_kb=None) -> SweepResult:
     """Pixel-compacted sweep (C in (1, 3)).
 
@@ -433,6 +442,12 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     ``active_v_u``: [V, U] bool — pixels to sweep (required; the point
     of this kernel).  Outputs at inactive pixels are garbage, exactly
     like the dense kernel's inactive chunks.
+
+    ``u_valid``: optional (lo, hi) sample-validity window in LOCAL u
+    coordinates overriding the (0, U - 1) image edges — the u-sharded
+    driver passes the GLOBAL image bounds so samples materialized in a
+    shard's u-halo count as valid exactly like the unsharded operator
+    (ops.sweep's u_valid analog; parallel/sharding2d.py).
 
     ``with_k_best``: export the winning candidate's K(r - rbar) column
     (the line-confidence input, core.hpp:645-651) — an MXU one-hot
@@ -479,6 +494,11 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     dvec = (DTYPE(np.float32(dmin))
             + jax.lax.optimization_barrier(num / den))[None, :]
     s_hat_arr = jnp.asarray(s_hat, jnp.int32).reshape(1, 1)
+    if u_valid is None:
+        u_valid = (0, U - 1)
+    uval_arr = jnp.stack([jnp.asarray(u_valid[0], jnp.int32),
+                          jnp.asarray(u_valid[1], jnp.int32)]
+                         ).reshape(1, 2)
 
     # dim_d > 128: kb 128-lane candidate blocks per pixel, BATCH // kb
     # pixels per tile (serves the reference's [240] configs on the
@@ -508,11 +528,13 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     in_specs = [
         pl.BlockSpec((1, 1), lambda i, n: (0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda i, n: (0, 0),
+                     memory_space=pltpu.SMEM),         # u_valid window
         pl.BlockSpec((1, 128 * kb), lambda i, n: (0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # act rows
     ]
-    operands = [s_hat_arr, dvec, act]
+    operands = [s_hat_arr, uval_arr, dvec, act]
     if per_pixel:
         def padb(x):
             return jnp.pad(x.astype(DTYPE),

@@ -26,12 +26,16 @@ All merge/state logic runs models.depth2d._pass_fn — this module only
 injects the three halo-aware stage functions (sweep_fn / median_fn /
 prop_fn), so there is exactly ONE pass implementation.
 
-The XLA engines run per shard (use_pallas=False): u-sharding targets
-the multi-chip scale-out path validated on the virtual CPU mesh; the
-Pallas kernels keep the 1-D v-mesh (their VMEM plans assume whole
-rows).  Halos come from the IMMEDIATE ring neighbors, so the local
-block must be at least as wide as the halo (asserted at trace time) —
-for narrower blocks, shard v more and u less.
+``use_pallas=True`` runs the PIXEL-COMPACTED sweep kernel and the VMEM
+median kernel per shard (round-4 verdict #6): the sweep runs on the
+u-haloed block with its validity window set to the GLOBAL image bounds
+(sweep_pile_pallas_pixel's ``u_valid``), so halo-resident samples
+count as valid exactly like the unsharded operator; propagation stays
+the XLA scatter-free scan (it is not the per-shard bottleneck — the
+sweep is the 15x kernel-vs-oracle gap, ACCEPTANCE_TPU).  Halos come
+from the IMMEDIATE ring neighbors, so the local block must be at least
+as wide as the halo (asserted at trace time) — for narrower blocks,
+shard v more and u less.
 """
 
 from __future__ import annotations
@@ -91,7 +95,8 @@ def sharded_schedule_2d(mesh: Mesh, dim_d: int, params: DepthParams,
                         d_bounds: Tuple[float, float],
                         u_global: int,
                         uniform_bounds: bool = True,
-                        coarse_mode: str = "tile"):
+                        coarse_mode: str = "tile",
+                        use_pallas: bool = False):
     """Build the jitted shard_map'd pass-chunk runner on a (v, u) mesh.
 
     Same contract as parallel.sharding.sharded_schedule; state planes
@@ -116,21 +121,50 @@ def sharded_schedule_2d(mesh: Mesh, dim_d: int, params: DepthParams,
         # static EPI columns: haloed once per chunk, reused by every
         # pass's sweep
         epis_h = exchange_halo(epis, hu, 2, U_AXIS, 0.0)
+        interp = jax.default_backend() != "tpu"
+        pallas_ok = (use_pallas and params.interpolation == "linear"
+                     and C in (1, 3) and dim_d <= 1024)
+        if pallas_ok:
+            from ..ops.sweep_pallas import prepare_padded_epis
+            from ..ops.sweep_pallas_pixel import sweep_pile_pallas_pixel
+            padded_h = prepare_padded_epis(epis_h, d_bounds[0],
+                                           d_bounds[1],
+                                           params.slope_factor)
+
+        def crop(x, axis):
+            return jax.lax.slice_in_dim(x, hu, hu + Ul, axis=axis)
 
         def sweep_fn(active, dmin_v_u, dmax_v_u, s_hat):
-            dmin_h = exchange_halo(dmin_v_u, hu, 1, U_AXIS,
-                                   DTYPE(d_bounds[0]))
-            dmax_h = exchange_halo(dmax_v_u, hu, 1, U_AXIS,
-                                   DTYPE(d_bounds[1]))
             # global image validity window in haloed-local coordinates
             lo = hu - u0
             hi = (u_global - 1) - u0 + hu
-            res = sweep_pile(epis_h, dmin_h, dmax_h, dim_d, s_hat,
-                             params, with_k_best=False,
-                             u_valid=(lo, hi))
-
-            def crop(x, axis):
-                return jax.lax.slice_in_dim(x, hu, hu + Ul, axis=axis)
+            if pallas_ok:
+                # pixel-compacted kernel on the u-haloed block: only
+                # the CORE columns are active; halo-resident samples
+                # are admitted by the u_valid window (verdict r4 #6 —
+                # the wide-frame scale-out path now rides the fast
+                # engine instead of the 15x slower XLA sweep)
+                act_h = jnp.pad(active, ((0, 0), (hu, hu)))
+                if uniform_bounds:
+                    dmin_h = dmax_h = None
+                else:
+                    dmin_h = exchange_halo(dmin_v_u, hu, 1, U_AXIS,
+                                           DTYPE(d_bounds[0]))
+                    dmax_h = exchange_halo(dmax_v_u, hu, 1, U_AXIS,
+                                           DTYPE(d_bounds[1]))
+                res = sweep_pile_pallas_pixel(
+                    epis_h, d_bounds[0], d_bounds[1], dim_d, s_hat,
+                    params, active_v_u=act_h, padded=padded_h,
+                    interpret=interp, dmin_v_u=dmin_h, dmax_v_u=dmax_h,
+                    with_k_best=False, u_valid=(lo, hi))
+            else:
+                dmin_h = exchange_halo(dmin_v_u, hu, 1, U_AXIS,
+                                       DTYPE(d_bounds[0]))
+                dmax_h = exchange_halo(dmax_v_u, hu, 1, U_AXIS,
+                                       DTYPE(d_bounds[1]))
+                res = sweep_pile(epis_h, dmin_h, dmax_h, dim_d, s_hat,
+                                 params, with_k_best=False,
+                                 u_valid=(lo, hi))
 
             return SweepResult(
                 best_score=crop(res.best_score, 1),
@@ -146,8 +180,17 @@ def sharded_schedule_2d(mesh: Mesh, dim_d: int, params: DepthParams,
                 x = exchange_halo(x, w, 1, U_AXIS, fill)   # u first
                 return exchange_halo(x, w, 0, V_AXIS, fill)
 
-            out = selective_median(widen(src, 0.0), widen(frame, 0.0),
-                                   widen(mask, False), size, epsilon)
+            if pallas_ok and size <= 17:
+                from ..ops.median_pallas import selective_median_pallas
+                out = selective_median_pallas(
+                    widen(src, 0.0), widen(frame, 0.0),
+                    widen(mask, False), size, epsilon,
+                    interpret=interp)
+            else:
+                out = selective_median(widen(src, 0.0),
+                                       widen(frame, 0.0),
+                                       widen(mask, False), size,
+                                       epsilon)
             return out[w:-w, w:-w]
 
         def prop_fn(claim, frames_, filtered, rbar, source_mask, s_hat,

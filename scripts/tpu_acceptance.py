@@ -245,6 +245,80 @@ def sharded_ab(S=100, V=64, U=960, D=120):
     }
 
 
+def sharded2d_ab(S=100, V=64, U=960, D=120):
+    """(1, 1) 2-D mesh with use_pallas on the real chip: the pixel
+    kernel runs on the u-haloed block with the u_valid global window —
+    must be bitwise vs the unsharded kernel (a single shard's halos
+    are the zero edge fills, so the semantics coincide exactly)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    import oracle
+    from remotesensingproject_tpu.config import DEFAULT_PARAMS
+    from remotesensingproject_tpu.models.depth2d import (
+        Depth2DComputer, Depth2DState, center_outward_schedule)
+    from remotesensingproject_tpu.ops.edge_confidence import (
+        edge_confidence_volume)
+    from remotesensingproject_tpu.parallel.mesh import U_AXIS, V_AXIS
+    from remotesensingproject_tpu.parallel.sharding2d import (
+        shard_planes_2d, shard_volume_2d, sharded_schedule_2d)
+
+    dmin, dmax = -1.0, 2.0
+    params = DEFAULT_PARAMS
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=1, n_objects=4,
+                                      seed=1, dmin=dmin, dmax=dmax)
+    epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
+    frames = jnp.transpose(epis, (1, 0, 2, 3))
+    ce_vsu, mask_vsu = jax.jit(edge_confidence_volume,
+                               static_argnums=1)(epis, params)
+    ce = jnp.transpose(ce_vsu, (1, 0, 2))
+    mask = jnp.transpose(mask_vsu, (1, 0, 2))
+    mesh2 = Mesh(np.array(jax.devices()[:1]).reshape(1, 1),
+                 (V_AXIS, U_AXIS))
+
+    def sp(x):
+        return shard_planes_2d(x, mesh2)
+
+    state = Depth2DState(
+        ce=sp(ce), ce_mask=sp(mask),
+        disp_conf=sp(jnp.zeros((S, V, U))),
+        line_conf=sp(jnp.zeros((S, V, U))),
+        best_depth=sp(jnp.zeros((S, V, U))),
+        rbar=sp(jnp.zeros((S, V, U, 1))),
+        claim=sp(mask.copy()))
+    fwd2 = sharded_schedule_2d(mesh2, D, params, (dmin, dmax),
+                               u_global=U, use_pallas=True)
+    schedule = center_outward_schedule(S)
+    t0 = time.time()
+    done = 0
+    while done < len(schedule):
+        part = schedule[done:done + 8]
+        done += len(part)
+        state, _n, _rem = fwd2(
+            shard_volume_2d(epis, mesh2), sp(frames),
+            sp(jnp.full((S, V, U), np.float32(dmin))),
+            sp(jnp.full((S, V, U), np.float32(dmax))),
+            jnp.zeros((1,), jnp.float32), state,
+            jnp.asarray(part, jnp.int32))
+    t_2d = time.time() - t0
+    single = Depth2DComputer(epis, dmin, dmax, D, use_pallas=True,
+                             early_stop=False, v_slabs=1,
+                             epi_scale_factor=1.0)
+    st_si = single.run()
+    same_depth = bool(np.array_equal(np.asarray(state.best_depth),
+                                     np.asarray(st_si.best_depth)))
+    same_claim = bool(np.array_equal(np.asarray(state.claim),
+                                     np.asarray(st_si.claim)))
+    return {
+        "shape": {"S": S, "V": V, "U": U, "D": D},
+        "depth_bitwise": same_depth,
+        "claim_bitwise": same_claim,
+        "run_s_2d": round(t_2d, 1),
+        "pass": bool(same_depth and same_claim),
+    }
+
+
 def line_kernel_ab(S=100, V=128, U=960, D=120):
     """with_k_best (line mode) on the pixel kernel vs the dense-row
     kernel on chip: k_best planes and depths at active pixels."""
@@ -367,19 +441,23 @@ def main():
     summary["slab_bitwise_ab"] = slab_ab()
     print(f"  slab A/B: {summary['slab_bitwise_ab']}", flush=True)
 
-    print("5/8 mesh(1) shard_map pipeline bitwise A/B", flush=True)
+    print("5/9 mesh(1) shard_map pipeline bitwise A/B", flush=True)
     summary["sharded_ab"] = sharded_ab()
     print(json.dumps(summary["sharded_ab"]), flush=True)
 
-    print("6/8 line-mode k_best kernel A/B", flush=True)
+    print("6/9 (1,1) 2-D mesh Pallas-route bitwise A/B", flush=True)
+    summary["sharded2d_ab"] = sharded2d_ab()
+    print(json.dumps(summary["sharded2d_ab"]), flush=True)
+
+    print("7/9 line-mode k_best kernel A/B", flush=True)
     summary["line_kernel_ab"] = line_kernel_ab()
     print(json.dumps(summary["line_kernel_ab"]), flush=True)
 
-    print("7/8 fast-mode A/B", flush=True)
+    print("8/9 fast-mode A/B", flush=True)
     summary["fast_ab"] = fast_ab()
     print(json.dumps(summary["fast_ab"]), flush=True)
 
-    print("8/8 full-pipeline A/B at V=64", flush=True)
+    print("9/9 full-pipeline A/B at V=64", flush=True)
     summary["pipeline_v64"] = pipeline_ab()
     print(json.dumps(summary["pipeline_v64"]), flush=True)
 
@@ -388,6 +466,7 @@ def main():
                            and summary["median_bitwise_ab"]
                            and summary["slab_bitwise_ab"]
                            and summary["sharded_ab"]["pass"]
+                           and summary["sharded2d_ab"]["pass"]
                            and summary["line_kernel_ab"]["pass"]
                            and summary["fast_ab"]["pass"]
                            and summary["pipeline_v64"]["pass"])

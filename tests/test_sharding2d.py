@@ -22,7 +22,7 @@ S, V, U, C = 6, 16, 64, 1
 DMIN, DMAX, DIM_D = -1.0, 1.5, 5
 
 
-def _run_2d(vol, mesh_shape=(2, 4)):
+def _run_2d(vol, mesh_shape=(2, 4), use_pallas=False):
     params = DepthParams()
     epis = jnp.asarray(vol) / jnp.max(jnp.asarray(vol))
     frames = jnp.transpose(epis, (1, 0, 2, 3))
@@ -48,7 +48,7 @@ def _run_2d(vol, mesh_shape=(2, 4)):
     dmax_sh = sp(jnp.full((S, V, U), DMAX, jnp.float32))
 
     fwd = sharded_schedule_2d(mesh, DIM_D, params, (DMIN, DMAX),
-                              u_global=U)
+                              u_global=U, use_pallas=use_pallas)
     schedule = center_outward_schedule(S)
     done = 0
     while done < len(schedule):
@@ -112,6 +112,40 @@ def test_2d_mesh_shapes(mesh_shape):
                              pass_chunk=4)
     ss = single.run()
     got, _ = _run_2d(vol, mesh_shape)
+    assert (np.asarray(got.claim) == np.asarray(ss.claim)).all()
+    assert np.allclose(np.asarray(got.best_depth),
+                       np.asarray(ss.best_depth), atol=1e-6)
+
+
+def test_2d_mesh_pallas_route_matches_single_device():
+    """use_pallas=True runs the PIXEL kernel on u-haloed blocks
+    (round-4 verdict #6): interpret-mode parity vs the single-device
+    Pallas pipeline — the u_valid window must reproduce the unsharded
+    operator's out-of-image semantics exactly."""
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=C, n_objects=3,
+                                      seed=9, dmin=DMIN, dmax=DMAX)
+    single = Depth2DComputer(jnp.asarray(vol), DMIN, DMAX, DIM_D,
+                             use_pallas=True, early_stop=False,
+                             pass_chunk=4)
+    ss = single.run()
+    got, _ = _run_2d(vol, use_pallas=True)
+    assert (np.asarray(got.claim) == np.asarray(ss.claim)).all()
+    assert np.allclose(np.asarray(got.best_depth),
+                       np.asarray(ss.best_depth), atol=1e-6)
+    assert np.allclose(np.asarray(got.disp_conf),
+                       np.asarray(ss.disp_conf), atol=1e-5)
+
+
+def test_2d_mesh_pallas_u_only_split():
+    """(1, 4) u-only mesh on the Pallas route: every pixel's sweep
+    reads across shard borders through the halo."""
+    vol, _ = oracle.make_synthetic_lf(S=S, V=V, U=U, C=C, n_objects=3,
+                                      seed=21, dmin=DMIN, dmax=DMAX)
+    single = Depth2DComputer(jnp.asarray(vol), DMIN, DMAX, DIM_D,
+                             use_pallas=True, early_stop=False,
+                             pass_chunk=4)
+    ss = single.run()
+    got, _ = _run_2d(vol, (1, 4), use_pallas=True)
     assert (np.asarray(got.claim) == np.asarray(ss.claim)).all()
     assert np.allclose(np.asarray(got.best_depth),
                        np.asarray(ss.best_depth), atol=1e-6)

@@ -68,12 +68,15 @@ class DepthParams:
     # _USE_LINE_CONFIDENCE_SCORE defined, core.hpp:35-37).
     score_version: Literal["edge", "disp", "line"] = "edge"
 
-    # Fast mode: run the truncated-mean-shift iterations of the Pallas
-    # sweep kernels in bfloat16 (f32 gather / accumulate / score).  Not
-    # bit-exact vs the reference's f32 mean shift (core.hpp:566-610) —
-    # gated instead by the REF_ANCHOR quality margin in bench.py and by
-    # the fast-vs-exact RMSE A/B in scripts/tpu_acceptance.py.  Has no
-    # effect on the XLA (oracle) path.
+    # Fast mode: cap the truncated mean shift of the PIXEL Pallas sweep
+    # at 5 iterations instead of the reference's 10 (core.hpp:16;
+    # convergence typically lands at ~6).  Not bit-exact vs the
+    # reference — gated instead by the REF_ANCHOR quality margin in
+    # bench.py and the fast-vs-exact A/B in scripts/tpu_acceptance.py
+    # (measured: 1.2x kernel speedup, 99.6% of argmax picks unchanged).
+    # No effect on the XLA (oracle) path or the dense-row kernel.
+    # (A bfloat16 mean-shift fast path was implemented and measured
+    # SLOWER on the v5e — no native bf16 elementwise rate; docs/PERF.md.)
     fast: bool = False
 
     def with_slope_factor(self, slope_factor: float) -> "DepthParams":

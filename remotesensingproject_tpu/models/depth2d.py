@@ -66,28 +66,87 @@ def center_outward_schedule(dim_s: int) -> list:
 
 
 def _line_confidence(ce_s_v_u, best_depth_v_u, k_best_v_s_u, mask_v_u,
-                     s_hat):
+                     s_hat, d_bounds=None):
     """Line confidence C_l = sum_s C_e K / sum_s K along the winning line.
 
     Mirrors the _USE_LINE_CONFIDENCE_SCORE block (core.hpp:1032-1081).
     Note the index matrix at :1058 omits par_slope_factor — replicated.
+
+    Computed WITHOUT a per-element gather: an XLA take_along_axis over
+    the [S, V, U] volume costs ~2.2 s/pass at the bench shape (~80% of
+    line-mode's r4 runtime) — instead, for each s the pixels sharing
+    the same integer shift floor(idx) - u read the C_e row through ONE
+    dynamic slice, scanned over the (per-s, masked-depth-bounded)
+    shift range exactly like ops/propagation.py.  The index arithmetic
+    idx = (s_hat - s) * d + u stays the full f32 expression, so fi / t
+    and therefore every interpolated value is BITWISE what the gather
+    produced.  ``d_bounds`` (static) sizes the pad; when None, a
+    gather fallback handles callers that cannot provide it.
     """
     S, V, U = ce_s_v_u.shape
     s_idx = jnp.arange(S, dtype=DTYPE)
-    idx = (s_hat.astype(DTYPE) - s_idx)[:, None, None] * \
-        best_depth_v_u[None, :, :] + jnp.arange(U, dtype=DTYPE)[None, None, :]
-    fi = jnp.floor(idx)
-    ci = jnp.ceil(idx)
-    t = idx - fi
-    valid = (fi >= 0) & (ci <= U - 1)
-    fic = jnp.clip(fi, 0, U - 1).astype(jnp.int32)
-    cic = jnp.clip(ci, 0, U - 1).astype(jnp.int32)
-    a = jnp.take_along_axis(ce_s_v_u, fic, axis=2)
-    b = jnp.take_along_axis(ce_s_v_u, cic, axis=2)
-    ce_i = jnp.where(valid, (1.0 - t) * a + t * b, 0.0)
-    k = jnp.transpose(k_best_v_s_u, (1, 0, 2))  # [S, V, U]
-    num = jnp.sum(ce_i * k, axis=0)
+    k = jnp.transpose(k_best_v_s_u, (1, 0, 2))      # [S, V, U]
     den = jnp.sum(k, axis=0)
+    u_row = jnp.arange(U, dtype=DTYPE)[None, :]     # (1, U)
+
+    if d_bounds is None:
+        idx = (s_hat.astype(DTYPE) - s_idx)[:, None, None] * \
+            best_depth_v_u[None, :, :] + u_row[None]
+        fi = jnp.floor(idx)
+        ci = jnp.ceil(idx)
+        t = idx - fi
+        valid = (fi >= 0) & (ci <= U - 1)
+        fic = jnp.clip(fi, 0, U - 1).astype(jnp.int32)
+        cic = jnp.clip(ci, 0, U - 1).astype(jnp.int32)
+        a = jnp.take_along_axis(ce_s_v_u, fic, axis=2)
+        b = jnp.take_along_axis(ce_s_v_u, cic, axis=2)
+        ce_i = jnp.where(valid, (1.0 - t) * a + t * b, 0.0)
+        num = jnp.sum(ce_i * k, axis=0)
+        return jnp.where(mask_v_u, num / den, 0.0)
+
+    # static pad: the largest |shift| any (s, d in bounds) can produce
+    # (+1 for the ceil sample; the line index omits slope_factor)
+    PADO = int(np.ceil((S - 1) * max(abs(d_bounds[0]),
+                                     abs(d_bounds[1])))) + 2
+    ce_pad = jnp.pad(ce_s_v_u, ((0, 0), (0, 0), (PADO, PADO)))
+
+    # masked-depth extremes -> tight per-s shift ranges
+    any_m = jnp.any(mask_v_u)
+    d_mn = jnp.min(jnp.where(mask_v_u, best_depth_v_u, jnp.inf))
+    d_mx = jnp.max(jnp.where(mask_v_u, best_depth_v_u, -jnp.inf))
+    d_mn = jnp.where(any_m, d_mn, 0.0)
+    d_mx = jnp.where(any_m, d_mx, 0.0)
+
+    def per_s(num, s):
+        ds = s_hat.astype(DTYPE) - s.astype(DTYPE)
+        idx = ds * best_depth_v_u + u_row            # [V, U] f32
+        fi = jnp.floor(idx)
+        t = idx - fi
+        valid = (fi >= 0) & (jnp.ceil(idx) <= U - 1)
+        o_px = fi.astype(jnp.int32) \
+            - jnp.arange(U, dtype=jnp.int32)[None, :]
+        cand = jnp.stack([jnp.floor(ds * d_mn), jnp.floor(ds * d_mx)])
+        o_lo = jnp.min(cand).astype(jnp.int32) - 1
+        o_hi = jnp.max(cand).astype(jnp.int32) + 1
+        ce_row = jax.lax.dynamic_index_in_dim(ce_pad, s, 0,
+                                              keepdims=False)
+        ks = jax.lax.dynamic_index_in_dim(k, s, 0, keepdims=False)
+
+        def per_o(i, acc):
+            o = o_lo + i
+            a = jax.lax.dynamic_slice(
+                ce_row, (jnp.int32(0), PADO + o), (V, U))
+            b = jax.lax.dynamic_slice(
+                ce_row, (jnp.int32(0), PADO + o + 1), (V, U))
+            sel = valid & (o_px == o)
+            return acc + jnp.where(sel, (1.0 - t) * a + t * b, 0.0)
+
+        ce_i = jax.lax.fori_loop(0, o_hi - o_lo + 1, per_o,
+                                 jnp.zeros((V, U), DTYPE))
+        return num + ce_i * ks, 0
+
+    num, _ = jax.lax.scan(per_s, jnp.zeros((V, U), DTYPE),
+                          jnp.arange(S, dtype=jnp.int32))
     return jnp.where(mask_v_u, num / den, 0.0)
 
 
@@ -207,9 +266,10 @@ def _prop_slabbed(prop_fn, claim, frames, filtered, rbar, source_mask,
     return claim_c, tg
 
 
-def _lineconf_slabbed(ce, filtered, k_best, mask, s_hat, n_slabs: int):
+def _lineconf_slabbed(ce, filtered, k_best, mask, s_hat, n_slabs: int,
+                      d_bounds=None):
     """_line_confidence as a scan over v-slabs (per-v independent —
-    the C_e interpolation gathers along u within each (s, v) row)."""
+    the C_e interpolation reads along u within each (s, v) row)."""
     S, V, U = ce.shape
     Vs = -(-V // n_slabs)
 
@@ -219,7 +279,8 @@ def _lineconf_slabbed(ce, filtered, k_best, mask, s_hat, n_slabs: int):
             jax.lax.dynamic_slice_in_dim(ce, ik, Vs, 1),
             jax.lax.dynamic_slice_in_dim(filtered, ik, Vs, 0),
             jax.lax.dynamic_slice_in_dim(k_best, ik, Vs, 0),
-            jax.lax.dynamic_slice_in_dim(mask, ik, Vs, 0), s_hat)
+            jax.lax.dynamic_slice_in_dim(mask, ik, Vs, 0), s_hat,
+            d_bounds)
         return jax.lax.dynamic_update_slice_in_dim(out, lc, ik, 0), 0
 
     out, _ = jax.lax.scan(body, jnp.zeros((V, U), DTYPE),
@@ -449,10 +510,11 @@ def _pass_fn(epis, frames, dmin_s_v_u, dmax_s_v_u, epis_padded,
         # propagation-painted C_l) is retained.
         if v_slabs > 1:
             lc_raw = _lineconf_slabbed(st.ce, filtered, res.k_best,
-                                       mask_new, s_hat, v_slabs)
+                                       mask_new, s_hat, v_slabs,
+                                       d_bounds)
         else:
             lc_raw = _line_confidence(st.ce, filtered, res.k_best,
-                                      mask_new, s_hat)
+                                      mask_new, s_hat, d_bounds)
         lc = jnp.where(good, lc_raw, plane(state.line_conf))
         lc_state = jax.lax.dynamic_update_index_in_dim(
             st.line_conf, lc, s_hat, 0)
@@ -730,8 +792,25 @@ class Depth2DComputer:
             # channel count multiplies the kernel plane bytes/work, so
             # it scales the deferred first-activation compile the same
             # way V*U does (measured at the RGB shape: 6 slabs -> 148 s
-            # first chunk, 17 slabs -> 97 s, warm +5 ms/pass)
-            v_slabs = max(1, int(np.ceil(V * U * C / 150_000.0)))
+            # first chunk, 17 slabs -> 97 s, warm +5 ms/pass).
+            # r5: the valid-window group clip restructure shrank the
+            # kernel's compile profile enough that LR18-class planes
+            # (540x960, D up to 240) now first-compile UNSLABBED in
+            # ~15 s (measured 35-39 s cold level-0 incl. execution,
+            # twice, vs the old 200-320 s) — and the slab scan was
+            # costing ~4 s warm at level 0.  Planes beyond 600k px
+            # keep the r4 slabbing (validated cold numbers at the HR
+            # and RGB shapes).  pass_chunk stays 8: chunk=16 UNSLABBED
+            # re-triggers the pathology (measured 208 s first chunk).
+            # Line mode's k_best export makes the kernel structurally
+            # bigger and re-trips the pathology unslabbed at 540x960
+            # (296 s first chunk, measured) — it keeps the r4 slabbing
+            # at every size.
+            vuc = V * U * C
+            if vuc <= 600_000 and self.params.score_version != "line":
+                v_slabs = 1
+            else:
+                v_slabs = max(1, int(np.ceil(vuc / 150_000.0)))
         else:
             v_slabs = 1
         # each slab must cover the median halo window (and stay useful)

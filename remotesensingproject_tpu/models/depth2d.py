@@ -806,9 +806,19 @@ class Depth2DComputer:
             # bigger and re-trips the pathology unslabbed at 540x960
             # (296 s first chunk, measured) — it keeps the r4 slabbing
             # at every size.
+            # 1-ch planes up to ~2.5M px: 2 slabs, probed at the HR
+            # shape (1080x1920): cold 139 s / warm 99.5 s level-0 vs
+            # the r4 14-slab policy's 161 / 131 (unslabbed: warm 94.8
+            # but cold 209 — the pathology partially returns at this
+            # plane size).  Multi-channel (RGB) and larger planes keep
+            # the r4 formula (validated cold numbers there; channel
+            # count multiplies the compile the same way area does).
             vuc = V * U * C
-            if vuc <= 600_000 and self.params.score_version != "line":
+            line = self.params.score_version == "line"
+            if vuc <= 600_000 and not line:
                 v_slabs = 1
+            elif vuc <= 2_500_000 and C == 1 and not line:
+                v_slabs = 2
             else:
                 v_slabs = max(1, int(np.ceil(vuc / 150_000.0)))
         else:

@@ -775,9 +775,10 @@ class Depth2DComputer:
             epis_padded = jnp.zeros((1,), DTYPE)
             pad_static = None
         # v-slabbing: bound the compiled kernel plane sizes on the
-        # pixel-kernel route (see _sweep_slabbed — the platform's
-        # deferred first-execution compile explodes super-linearly
-        # with plane size; ~135x960 slabs stay in the ~4 s regime).
+        # pixel-kernel route (see _sweep_slabbed and the probed policy
+        # below — the platform's deferred first-execution compile grows
+        # super-linearly with plane size, but the r5 kernel restructure
+        # moved the cheap-regime boundary; each tier is measured).
         pixel_route = (use_pallas_path and C in (1, 3)
                        and self.dim_d <= 1024)
         # the dense-row kernel is slab-wired at uniform-bounds levels

@@ -66,7 +66,7 @@ def center_outward_schedule(dim_s: int) -> list:
 
 
 def _line_confidence(ce_s_v_u, best_depth_v_u, k_best_v_s_u, mask_v_u,
-                     s_hat, d_bounds=None):
+                     s_hat, d_bounds):
     """Line confidence C_l = sum_s C_e K / sum_s K along the winning line.
 
     Mirrors the _USE_LINE_CONFIDENCE_SCORE block (core.hpp:1032-1081).
@@ -79,30 +79,15 @@ def _line_confidence(ce_s_v_u, best_depth_v_u, k_best_v_s_u, mask_v_u,
     dynamic slice, scanned over the (per-s, masked-depth-bounded)
     shift range exactly like ops/propagation.py.  The index arithmetic
     idx = (s_hat - s) * d + u stays the full f32 expression, so fi / t
-    and therefore every interpolated value is BITWISE what the gather
-    produced.  ``d_bounds`` (static) sizes the pad; when None, a
-    gather fallback handles callers that cannot provide it.
+    and therefore every interpolated value is BITWISE what the
+    take_along_axis formulation produced (tests/test_variants.py
+    asserts this vs the independent gather oracle).  ``d_bounds``
+    (static ctor constants) sizes the pad.
     """
     S, V, U = ce_s_v_u.shape
-    s_idx = jnp.arange(S, dtype=DTYPE)
     k = jnp.transpose(k_best_v_s_u, (1, 0, 2))      # [S, V, U]
     den = jnp.sum(k, axis=0)
     u_row = jnp.arange(U, dtype=DTYPE)[None, :]     # (1, U)
-
-    if d_bounds is None:
-        idx = (s_hat.astype(DTYPE) - s_idx)[:, None, None] * \
-            best_depth_v_u[None, :, :] + u_row[None]
-        fi = jnp.floor(idx)
-        ci = jnp.ceil(idx)
-        t = idx - fi
-        valid = (fi >= 0) & (ci <= U - 1)
-        fic = jnp.clip(fi, 0, U - 1).astype(jnp.int32)
-        cic = jnp.clip(ci, 0, U - 1).astype(jnp.int32)
-        a = jnp.take_along_axis(ce_s_v_u, fic, axis=2)
-        b = jnp.take_along_axis(ce_s_v_u, cic, axis=2)
-        ce_i = jnp.where(valid, (1.0 - t) * a + t * b, 0.0)
-        num = jnp.sum(ce_i * k, axis=0)
-        return jnp.where(mask_v_u, num / den, 0.0)
 
     # static pad: the largest |shift| any (s, d in bounds) can produce
     # (+1 for the ceil sample; the line index omits slope_factor)
@@ -267,7 +252,7 @@ def _prop_slabbed(prop_fn, claim, frames, filtered, rbar, source_mask,
 
 
 def _lineconf_slabbed(ce, filtered, k_best, mask, s_hat, n_slabs: int,
-                      d_bounds=None):
+                      d_bounds):
     """_line_confidence as a scan over v-slabs (per-v independent —
     the C_e interpolation reads along u within each (s, v) row)."""
     S, V, U = ce.shape
@@ -881,7 +866,7 @@ class Depth2DComputer:
                 t_chunk = now
             if self.early_stop and remaining == 0:
                 if self.verbose:
-                    print(f"early stop after {done} passes")
+                    print(f"early stop after {executed} passes")
                 break
         self.state = jax.block_until_ready(state)
         return self.state

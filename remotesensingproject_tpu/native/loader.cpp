@@ -302,12 +302,18 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 
 Image decode_jpeg(const std::vector<uint8_t>& buf) {
   Image img;
+  // the row buffer is declared BEFORE setjmp so a libjpeg error_exit
+  // longjmp never jumps over a live non-trivially-destructible local
+  // (that would be UB and leak the buffer on every corrupt frame) —
+  // both vectors live in this frame and are destroyed on return
+  std::vector<uint8_t> row;
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
   if (setjmp(jerr.jb)) {
     jpeg_destroy_decompress(&cinfo);
+    img.ok = false;
     return img;
   }
   jpeg_create_decompress(&cinfo);
@@ -326,7 +332,7 @@ Image decode_jpeg(const std::vector<uint8_t>& buf) {
   img.c = c;
   img.dtype = 0;  // JPEG is 8-bit
   img.data.resize(size_t(h) * w * c);
-  std::vector<uint8_t> row(size_t(w) * c);
+  row.resize(size_t(w) * c);
   JSAMPROW rp = row.data();
   for (int y = 0; y < h; y++) {
     jpeg_read_scanlines(&cinfo, &rp, 1);

@@ -504,10 +504,10 @@ def sweep_pile_pallas_pixel(epis_v_s_u_c, dmin: float, dmax: float,
     # pixels per tile (serves the reference's [240] configs on the
     # fast path; kb must divide BATCH, so dim_d <= 1024)
     kb = -(-dim_d // 128) if _force_kb is None else _force_kb
-    while BATCH % kb:
-        kb += 1
     if kb > BATCH:
         raise NotImplementedError("dim_d > 1024")
+    while BATCH % kb:
+        kb += 1
     dvec = jnp.pad(dvec, ((0, 0), (0, kb * 128 - dim_d)))
     per_pixel = dmin_v_u is not None
     n_grp = gather_window(PAD)

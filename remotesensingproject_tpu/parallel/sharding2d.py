@@ -96,7 +96,8 @@ def sharded_schedule_2d(mesh: Mesh, dim_d: int, params: DepthParams,
                         u_global: int,
                         uniform_bounds: bool = True,
                         coarse_mode: str = "tile",
-                        use_pallas: bool = False):
+                        use_pallas: bool = False,
+                        early_stop: bool = True):
     """Build the jitted shard_map'd pass-chunk runner on a (v, u) mesh.
 
     Same contract as parallel.sharding.sharded_schedule; state planes
@@ -212,7 +213,7 @@ def sharded_schedule_2d(mesh: Mesh, dim_d: int, params: DepthParams,
             pad_static=None,
             coarse_mode=coarse_mode, median_fn=median_fn,
             sweep_fn=sweep_fn, prop_fn=prop_fn,
-            axis_name=(V_AXIS, U_AXIS))
+            axis_name=(V_AXIS, U_AXIS), early_stop=early_stop)
 
     vs = P(V_AXIS, None, U_AXIS, None)        # epis [V, S, U, C]
     sv = P(None, V_AXIS, U_AXIS)              # [S, V, U]

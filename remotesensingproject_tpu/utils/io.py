@@ -18,6 +18,10 @@ import re
 import warnings
 from typing import List, Optional, Tuple
 
+
+class _NativeSkip(Exception):
+    """Native fast-path skipped for a known reason (message = reason)."""
+
 import numpy as np
 
 
@@ -90,6 +94,15 @@ def read_imgs_from_folder(path_to_folder: str, extension: str,
         # quietly (round-4 verdict #8)
         try:
             from ..native import loader as native_loader
+            if grayscale is not None:
+                # the native decoder returns frames in their source
+                # channel layout; an explicit grayscale request needs
+                # PIL's convert('L') path
+                raise _NativeSkip("explicit grayscale conversion")
+            if native_loader._load() is None:
+                raise _NativeSkip(
+                    "librslf_native.so not built — run "
+                    "`make -C remotesensingproject_tpu/native`")
             stack = native_loader.read_stack(
                 path_to_folder, names, extension)
             if stack is not None:
@@ -103,6 +116,12 @@ def read_imgs_from_folder(path_to_folder: str, extension: str,
                 f"*.{extension} in {path_to_folder} (unsupported format "
                 "or corrupt first frame); falling back to single-threaded "
                 "PIL ingest", RuntimeWarning, stacklevel=2)
+        except _NativeSkip as e:
+            if grayscale is None:
+                warnings.warn(
+                    f"native loader unavailable ({e}); falling back to "
+                    "single-threaded PIL ingest",
+                    RuntimeWarning, stacklevel=2)
         except Exception as e:
             warnings.warn(
                 f"native loader unavailable ({type(e).__name__}: {e}); "

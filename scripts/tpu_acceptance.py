@@ -424,20 +424,20 @@ def main():
     enable_compilation_cache()
     summary = {"backend": jax.default_backend()}
 
-    print("1/8 sweep kernel one-pass A/B at production shape", flush=True)
+    print("1/9 sweep kernel one-pass A/B at production shape", flush=True)
     summary["sweep_production"] = sweep_one_pass_ab()
     print(json.dumps(summary["sweep_production"]), flush=True)
 
-    print("2/8 propagation kernel bitwise A/B", flush=True)
+    print("2/9 propagation kernel bitwise A/B", flush=True)
     prop_ok = (prop_kernel_check.check(S=100, V=540, U=960, seed=0)
                and prop_kernel_check.check(seed=1, slope=0.5))
     summary["prop_bitwise_ab"] = bool(prop_ok)
 
-    print("3/8 selective-median kernel bitwise A/B", flush=True)
+    print("3/9 selective-median kernel bitwise A/B", flush=True)
     summary["median_bitwise_ab"] = median_ab()
     print(f"  median A/B: {summary['median_bitwise_ab']}", flush=True)
 
-    print("4/8 v-slab pipeline bitwise A/B", flush=True)
+    print("4/9 v-slab pipeline bitwise A/B", flush=True)
     summary["slab_bitwise_ab"] = slab_ab()
     print(f"  slab A/B: {summary['slab_bitwise_ab']}", flush=True)
 

@@ -309,7 +309,15 @@ def main():
 
     # Quality gate: delta vs the compiled reference's own accuracy on
     # this scene (module docstring; REF_ANCHOR.json from
-    # scripts/ref_anchor.py).
+    # scripts/ref_anchor.py).  Release the pyramid's device state
+    # FIRST: only the host-side `fused` is needed from here, and the
+    # eager edge-confidence volume below once hit an HBM
+    # ResourceExhausted with the full warm pyramid still resident —
+    # losing a completed measurement to the post-run check.
+    import gc
+
+    del ftc
+    gc.collect()
     conf0 = edge_mask(vol, DEFAULT_PARAMS)
     gt = np.broadcast_to(gt_s_u[:, None, :], fused.shape)
     err = np.abs(fused - gt)[conf0]

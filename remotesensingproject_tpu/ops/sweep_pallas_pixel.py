@@ -14,8 +14,9 @@ findNonZero sparsity (rslf_depth_computation_core.hpp:515-516), made
 dense per tile.
 
 Per row v (one grid step):
-* the driver pre-sorts each row's u indices active-first (one batched
-  argsort) and passes the permutation + active count;
+* the row's active u list is compacted ON THE SCALAR CORE while the
+  EPI row DMA is in flight (the old wrapper-side argsort + inverse
+  permutation cost ~190 ms/call at the bench shape);
 * the EPI row is DMA'd to VMEM once (manual DMA — the auto pipeline
   re-issues per-step DMAs, see sweep_pallas.py);
 * floor/frac/valid of the sheared positions I = (s_hat - s) * d_j *
@@ -24,13 +25,13 @@ Per row v (one grid step):
   do not depend on u;
 * per batch of 8 pixels: the per-lane gather runs with Mosaic's native
   take_along_axis within 128-lane groups of each pixel's window
-  (groups outside the candidate span are skipped with a scalar
-  branch), then the truncated mean shift + scoring on the
-  (S_tot, 1024) tile, then per-pixel lane reductions (first-max argmax
-  over the d lanes) — results land in compact slots, written back with
-  a small DMA per batch;
-* the wrapper scatters compact slots back to u positions with the
-  inverse permutation (double argsort + take_along_axis).
+  (the dynamic group range is clipped to both the candidate span AND
+  the valid-sample window, so near-edge pixels skip up to half the
+  reach), then the truncated mean shift + scoring on the
+  (S_tot, 1024) tile — masked samples enter as +inf so the kernel
+  weight collapses to +0 with no per-iteration mask multiply — then
+  per-pixel lane reductions (first-max argmax over the d lanes);
+  results land directly at their true u positions in the output row.
 
 score_version="line" (k_best export) also rides this kernel: the
 winning candidate's K(r - rbar) column is extracted with an MXU
